@@ -1,0 +1,151 @@
+"""Configuration system.
+
+Typed dataclass tree with YAML overrides — replaces the reference's global
+mutable yacs CfgNode singleton (reference: configure/cfgs.py:5-123).  Configs
+here are immutable values passed explicitly; anything that reaches jitted code
+does so as trace-time static Python data.
+
+Usage:
+    cfg = Config.from_yaml("configs/train_dfaust.yaml")
+    cfg = Config()  # code defaults (mirror reference defaults + traincfg.yaml)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import yaml
+
+
+@dataclass
+class ModelConfig:
+    model_name: str = "dfaust_multiz8_partkps8"
+    # 'multiz+partkps' (paper flagship) or 'neural3DMM' (baseline AE)
+    model_type: str = "multiz+partkps"
+    ds_factors: list = field(default_factory=lambda: [2, 2, 2, 2])
+    step_sizes: list = field(default_factory=lambda: [2, 2, 1, 1, 1])
+    dilation: list = field(default_factory=lambda: [2, 2, 1, 1, 1])
+    # [per-level main filters, per-level optional extra filters]
+    filter_sizes_enc: list = field(
+        default_factory=lambda: [[3, 16, 32, 64, 128], [[], [], [], [], []]])
+    filter_sizes_dec: list = field(
+        default_factory=lambda: [[128, 64, 32, 32, 16], [[], [], [], [], 3]])
+    part_shape_latent_size: int = 8
+    part_kps_latent_size: int = 8
+    nz: int = 256             # latent size for the neural3DMM baseline
+    activation: str = "elu"
+    vae: bool = False
+    # numeric policy: 'float32' or 'bfloat16' for the conv trunk
+    trunk_dtype: str = "float32"
+    # use the fused Pallas spiral-conv kernel on TPU where profitable
+    use_pallas: bool = True
+
+
+@dataclass
+class DataConfig:
+    root_dir: str = "data/DFAUST"
+    dataset: str = "DFAUST"
+    n_val: int = 0
+    normalization: str = "zeroroot"  # substring-matched modes, see data.dataset
+    measure: bool = True
+    shuffle: bool = True
+    # host pipeline prefetch depth (batches staged ahead on device)
+    prefetch: int = 2
+    asset_dir: str = "data/asset"
+    # synthetic fallback when no DFAUST data present (tests / benches)
+    synthetic: bool = False
+    synthetic_train: int = 256
+    synthetic_test: int = 64
+
+
+@dataclass
+class TrainConfig:
+    n_epochs: int = 300
+    batch_train: int = 4
+    batch_test: int = 16
+    batch_interp: int = 4
+    lr: float = 1e-3
+    weight_decay: float = 5e-5        # torch-style coupled L2 inside Adam
+    lr_decay: float = 0.99            # per-epoch exponential (StepLR gamma)
+    seed: int = 2
+    # loss switches / weights (epoch thresholds gate when a term turns on)
+    edgereg_epoch: int = 0
+    edgereg_w: float = 1e-2
+    zpartreg_epoch: int = 0
+    zpartreg_w: float = 1e-2
+    vol_epoch: int = 0
+    vol_w: float = 1e-2
+    interp_epoch: int = 0
+    interp_kps_w: float = 1.0
+    interp_euc_w: float = 1e-2
+    exc_epoch: int = 0
+    exc_kps_w: float = 1.0
+    exc_euc_w: float = 1e-2
+    # weighted-distance-loss shaping
+    w_mode: str = "threshold"         # all_one | linear | sin | threshold
+    w_threshold: float = 0.8
+    w_part_mode: str = "1/K"          # n/N | 1/K | 1/rand_num
+    relat_flag: bool = True
+    # latent-edit branch
+    edit_mode: str = "equal"          # equal | rand | exc
+    rand_mode: str = "rand"           # rand | warm_up
+    exc_mode: str = "ori_or_m"        # m | ori_m | ori | ori_or_m
+    editskl_flag: bool = False
+    noleaf_flag: bool = True
+    leafkeep_flag: bool = True
+    factor: list = field(default_factory=lambda: [0.4, 0.8])
+    # checkpointing
+    ck_frequency: int = 100
+    ck_name: str = "checkpoint"
+    resume: Optional[str] = None      # checkpoint dir to resume from
+    finetune: bool = False            # load weights only, restart schedule
+    eval_flag: bool = True
+    save_recons: bool = True
+    # parallelism
+    data_parallel: bool = True        # shard batch over all local devices
+    log_every: int = 0                # extra step-level logging (0 = per-epoch)
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    out_dir: str = "results"
+
+    @staticmethod
+    def from_yaml(path: str) -> "Config":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return Config.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "Config":
+        cfg = Config()
+        return _merge(cfg, raw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _merge(node: Any, raw: dict) -> Any:
+    if not dataclasses.is_dataclass(node):
+        raise TypeError(f"cannot merge into non-dataclass {node!r}")
+    updates = {}
+    valid = {f.name: f for f in dataclasses.fields(node)}
+    for key, val in raw.items():
+        if key not in valid:
+            raise KeyError(
+                f"unknown config key {key!r} for {type(node).__name__}; "
+                f"valid keys: {sorted(valid)}")
+        cur = getattr(node, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            updates[key] = _merge(cur, val)
+        else:
+            updates[key] = val
+    return dataclasses.replace(node, **updates)
