@@ -1,0 +1,35 @@
+"""Device-resident topology tables, derived once from a MeshHierarchy."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from ..topology.compiler import MeshHierarchy
+
+
+@dataclass(frozen=True)
+class DeviceTables:
+    """Static (trace-time constant) arrays the model closes over."""
+    spirals: tuple        # per level [V_l+1, S_l] int32, dummy-resolved
+    pool_idx: tuple       # per transition [V_{l+1}+1] int32
+    unpool_idx: tuple     # per transition [V_l+1, 3] int32
+    unpool_w: tuple       # per transition [V_l+1, 3] f32
+    sizes: tuple          # V_l
+    spiral_sizes: tuple   # S_l
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.sizes)
+
+
+def device_tables(hier: MeshHierarchy) -> DeviceTables:
+    return DeviceTables(
+        spirals=tuple(jnp.asarray(s, jnp.int32) for s in hier.spirals),
+        pool_idx=tuple(jnp.asarray(p, jnp.int32) for p in hier.pool_idx),
+        unpool_idx=tuple(jnp.asarray(u, jnp.int32) for u in hier.unpool_idx),
+        unpool_w=tuple(jnp.asarray(w, jnp.float32) for w in hier.unpool_w),
+        sizes=tuple(hier.sizes),
+        spiral_sizes=tuple(hier.spiral_sizes),
+    )

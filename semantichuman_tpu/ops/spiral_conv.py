@@ -1,0 +1,51 @@
+"""Spiral convolution: the framework's core op.
+
+y[b, v] = act(W @ concat_{s}(x[b, spiral[v, s]]) + bias),  dummy row zeroed.
+
+The reference implements this as an advanced-indexing gather followed by
+nn.Linear (models.py:34-53).  Here it is a `jnp.take` + one matmul, which XLA
+fuses into an MXU-friendly kernel; `ops.pallas.spiral_conv_pallas` provides a
+hand-fused VMEM-resident variant for the hot levels.
+
+Dummy semantics: spiral tables arrive with pads already resolved to the
+explicit dummy row index V (topology.compiler), the input's dummy row is
+zero, and the output's dummy row is re-zeroed after the bias/activation —
+bit-identical to the reference's mask multiply.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "elu": jax.nn.elu,
+    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.02),
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "identity": lambda x: x,
+}
+
+
+def spiral_gather(x: jnp.ndarray, spiral_idx: jnp.ndarray) -> jnp.ndarray:
+    """x [B, V+1, C], spiral_idx [V+1, S] -> [B, V+1, S*C]."""
+    b, _, c = x.shape
+    v1, s = spiral_idx.shape
+    g = jnp.take(x, spiral_idx.reshape(-1), axis=1)
+    return g.reshape(b, v1, s * c)
+
+
+def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
+                bias: jnp.ndarray, activation: str = "elu",
+                compute_dtype=None) -> jnp.ndarray:
+    """x [B, V+1, C_in], w [S*C_in, C_out], bias [C_out] -> [B, V+1, C_out]."""
+    act = ACTIVATIONS[activation]
+    feats = spiral_gather(x, spiral_idx)
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.dot(feats, w, preferred_element_type=jnp.float32)
+    y = act(y + bias.astype(y.dtype))
+    # zero the dummy (last) row so pads keep gathering zeros downstream
+    return y.at[:, -1, :].set(0.0)
