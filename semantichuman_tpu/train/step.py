@@ -1,0 +1,246 @@
+"""Jitted train/eval steps.
+
+One compiled program per (loss-gate, exc-variant) combination covers the
+whole step — forward, all loss branches, backward, optimizer — with zero
+host round-trips (the reference crosses host↔device per sample inside its
+edge regularizer and rebuilds edit targets in Python each step,
+train_funcs.py:137-144,153-310).
+
+Static inputs (trace-time): model, loss tables, gate flags, exc variant.
+Dynamic inputs: params, opt_state, batches, host-sampled edit spec arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import KPS_KEEP, NEWSKL_KEEP, SKL_KEEP
+from ..ops.skeleton import kps2skl, skl2kps
+from . import losses as L
+
+
+@dataclass(frozen=True)
+class StepFlags:
+    """Static loss gates + shaping knobs (from TrainConfig at a given epoch)."""
+    edgereg: bool = True
+    zpartreg: bool = True
+    interp: bool = True
+    exc: bool = True
+    vol: bool = True
+    editskl: bool = False
+    relat: bool = True
+    leafkeep: bool = True
+    w_mode: str = "threshold"
+    w_threshold: float = 0.8
+    w_part_mode: str = "1/K"
+    edgereg_w: float = 1e-2
+    zpartreg_w: float = 1e-2
+    vol_w: float = 1e-2
+    interp_kps_w: float = 1.0
+    interp_euc_w: float = 1e-2
+    exc_kps_w: float = 1.0
+    exc_euc_w: float = 1e-2
+
+
+def flags_for_epoch(cfg_train, epoch: int) -> StepFlags:
+    """Reference gating: a term is active once epoch > its *_epoch threshold
+    and its weight is positive (train_funcs.py:137,145,153,286,323)."""
+    t = cfg_train
+    return StepFlags(
+        edgereg=epoch > t.edgereg_epoch and t.edgereg_w > 0,
+        zpartreg=epoch > t.zpartreg_epoch and t.zpartreg_w > 0,
+        interp=epoch > t.interp_epoch,
+        exc=epoch > t.exc_epoch,
+        vol=epoch > t.vol_epoch and t.vol_w > 0,
+        editskl=t.editskl_flag, relat=t.relat_flag,
+        leafkeep=t.leafkeep_flag, w_mode=t.w_mode,
+        w_threshold=t.w_threshold, w_part_mode=t.w_part_mode,
+        edgereg_w=t.edgereg_w, zpartreg_w=t.zpartreg_w, vol_w=t.vol_w,
+        interp_kps_w=t.interp_kps_w, interp_euc_w=t.interp_euc_w,
+        exc_kps_w=t.exc_kps_w, exc_euc_w=t.exc_euc_w)
+
+
+def _edited_kps(kps_full, skl_len_factor):
+    """Scale kept-bone lengths by skl_len_factor, re-integrate to keypoints
+    (the interp branch's editskl path, train_funcs.py:163-168)."""
+    skl = kps2skl(kps_full, "ori_m")
+    skl = skl.at[:, :, 3].multiply(skl_len_factor[None, :])
+    return skl2kps(skl, "ori_m")
+
+
+def _exchanged_kps(kps_full, variant: str):
+    """Pair samples by flipping the batch and swap skeleton orientation or
+    bone length between pairs (the exc branch, train_funcs.py:297-316)."""
+    if variant == "ori_m":
+        return jnp.flip(kps_full, axis=0)[:, jnp.asarray(KPS_KEEP)]
+    skl = kps2skl(kps_full, "ori_m")
+    if variant == "ori":
+        keep = jnp.asarray(NEWSKL_KEEP)
+        swapped = jnp.flip(skl[:, keep, :3], axis=0)
+        skl = skl.at[:, keep, :3].set(swapped)
+    elif variant == "m":
+        keep = jnp.asarray(SKL_KEEP)
+        swapped = jnp.flip(skl[:, keep, 3], axis=0)
+        skl = skl.at[:, keep, 3].set(swapped)
+    else:
+        raise ValueError(f"unknown exc variant {variant!r}")
+    return skl2kps(skl, "ori_m")
+
+
+def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
+                 exc_variant: str = "ori"):
+    """Build the full multi-branch loss closure (PartAE)."""
+    jreg = jnp.asarray(tables.j_regressor)
+    faces = jnp.asarray(tables.faces)
+    kps_keep = jnp.asarray(tables.kps_keep)
+
+    def loss_fn(params, batch, interp_batch, exc_batch, edit_spec):
+        metrics = {}
+        tx = batch["verts"]
+        kps_full = L.regress_kps(tx[:, :-1], jreg)
+        rec, z, _z_kps = model(params, tx, jnp.take(kps_full, kps_keep, axis=1))
+        rec_l = L.rec_loss(tx, rec)
+        loss = rec_l
+        metrics["rec"] = rec_l
+
+        if flags.edgereg:
+            e = L.edgereg_loss(tx[:, :-1], rec[:, :-1], faces)
+            loss = loss + flags.edgereg_w * e
+            metrics["edgereg"] = e
+        if flags.zpartreg:
+            zr = L.zpartreg_loss(z, batch["measure"], flags.relat)
+            loss = loss + flags.zpartreg_w * zr
+            metrics["zpartreg"] = zr
+
+        if flags.interp:
+            txi = interp_batch["verts"]
+            kps_i = L.regress_kps(txi[:, :-1], jreg)
+            if flags.editskl:
+                newkps = _edited_kps(kps_i, edit_spec["skl_len_factor"])
+            else:
+                newkps = jnp.take(kps_i, kps_keep, axis=1)
+            zi, zi_kps, dummy = model.encode(params, txi, newkps)
+            zi = zi * edit_spec["a_full"][:, :, None]
+            rec_i = model.decode(params, zi, zi_kps, dummy)
+            if flags.interp_kps_w > 0:
+                kl = L.kps_consistency_loss(rec_i[:, :-1], newkps, jreg,
+                                            kps_keep)
+                loss = loss + flags.interp_kps_w * kl
+                metrics["interp_kps"] = kl
+            if flags.interp_euc_w > 0:
+                el = L.weighted_distance_loss(
+                    txi[:, :-1], rec_i[:, :-1], kps_i, tables,
+                    a_full=edit_spec["a_full"],
+                    edited_mask=edit_spec["edited_mask"],
+                    n_edited=edit_spec["n_edited"],
+                    w_mode=flags.w_mode, w_threshold=flags.w_threshold,
+                    w_part_mode=flags.w_part_mode, relat=flags.relat,
+                    leafkeep=flags.leafkeep)
+                loss = loss + flags.interp_euc_w * el
+                metrics["interp_euc"] = el
+
+        if flags.exc:
+            txe = exc_batch["verts"]
+            kps_e = L.regress_kps(txe[:, :-1], jreg)
+            newkps_e = _exchanged_kps(kps_e, exc_variant)
+            ze, ze_kps, dummy_e = model.encode(params, txe, newkps_e)
+            rec_e = model.decode(params, ze, ze_kps, dummy_e)
+            if flags.vol and exc_variant == "ori":
+                vl = L.volume_loss(txe[:, :-1], rec_e[:, :-1], tables)
+                loss = loss + flags.vol_w * vl
+                metrics["vol"] = vl
+            if flags.exc_kps_w > 0:
+                kl = L.kps_consistency_loss(rec_e[:, :-1], newkps_e, jreg,
+                                            kps_keep)
+                loss = loss + flags.exc_kps_w * kl
+                metrics["exc_kps"] = kl
+            if flags.exc_euc_w > 0:
+                el = L.weighted_distance_loss(
+                    txe[:, :-1], rec_e[:, :-1], kps_e, tables,
+                    w_mode=flags.w_mode, w_threshold=flags.w_threshold,
+                    w_part_mode=flags.w_part_mode, relat=flags.relat,
+                    leafkeep=flags.leafkeep)
+                loss = loss + flags.exc_euc_w * el
+                metrics["exc_euc"] = el
+
+        metrics["loss"] = loss
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_train_step(model, tables: L.LossTables, optimizer,
+                    flags: StepFlags, exc_variant: str = "ori",
+                    donate: bool = True):
+    """Returns jitted: (params, opt_state, batch, interp, exc, edit_spec)
+    -> (params, opt_state, metrics)."""
+    loss_fn = make_loss_fn(model, tables, flags, exc_variant)
+
+    def step(params, opt_state, batch, interp_batch, exc_batch, edit_spec):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, interp_batch, exc_batch, edit_spec)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_baseline_loss_fn(model, tables: L.LossTables, flags: StepFlags):
+    """neural3DMM baseline: reconstruction + edge regularizer only
+    (reference: train_funcs.py:474-583)."""
+    faces = jnp.asarray(tables.faces)
+
+    def loss_fn(params, batch):
+        tx = batch["verts"]
+        rec, _z = model(params, tx)
+        rec_l = L.rec_loss(tx, rec)
+        loss = rec_l
+        metrics = {"rec": rec_l}
+        if flags.edgereg:
+            e = L.edgereg_loss(tx[:, :-1], rec[:, :-1], faces)
+            loss = loss + flags.edgereg_w * e
+            metrics["edgereg"] = e
+        metrics["loss"] = loss
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_baseline_train_step(model, tables, optimizer, flags: StepFlags,
+                             donate: bool = True):
+    loss_fn = make_baseline_loss_fn(model, tables, flags)
+
+    def step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, tables: L.LossTables, mm_constant: float = 1000.0):
+    """Per-batch eval metrics: mean-L1 and mean per-vertex Euclidean error in
+    mm, dummy row excluded (reference: test_funcs.py:97-101)."""
+    jreg = jnp.asarray(tables.j_regressor)
+    kps_keep = jnp.asarray(tables.kps_keep)
+
+    def step(params, batch):
+        tx = batch["verts"]
+        kps = L.regress_kps(tx[:, :-1], jreg)
+        rec, z, z_kps = model(params, tx, jnp.take(kps, kps_keep, axis=1))
+        x, xr = tx[:, :-1], rec[:, :-1]
+        l1 = jnp.mean(jnp.abs(xr - x))
+        l2mm = jnp.mean(jnp.sqrt(jnp.sum(
+            ((xr - x) * mm_constant) ** 2, axis=2)))
+        return {"rec": rec, "z": z, "z_kps": z_kps, "l1": l1, "l2_mm": l2mm}
+
+    return jax.jit(step)

@@ -1,0 +1,113 @@
+"""End-to-end train-step tests: full loss stack + optimizer, loss decreases."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from semantichuman_tpu.constants import KPS_KEEP
+from semantichuman_tpu.models import build_model
+from semantichuman_tpu.train import losses as L
+from semantichuman_tpu.train.edits import EditSampler
+from semantichuman_tpu.train.optim import make_optimizer
+from semantichuman_tpu.train.step import (StepFlags, flags_for_epoch,
+                                          make_eval_step, make_train_step)
+
+
+@pytest.fixture(scope="module")
+def setup(small_cfg, small_hierarchy, small_human):
+    model = build_model(small_cfg, small_hierarchy, small_human.part_dict)
+    params = model.init(0)
+    tables = L.build_loss_tables(small_human.template_faces,
+                                 small_human.J_regressor,
+                                 small_human.part_dict)
+    meshes = small_human.sample_meshes(8, seed=5).astype(np.float32)
+    measure = small_human.measures(meshes).astype(np.float32)
+    verts = np.concatenate([meshes, np.zeros((8, 1, 3), np.float32)], axis=1)
+    batch = {"verts": jnp.asarray(verts[:4]),
+             "measure": jnp.asarray(measure[:4])}
+    interp = {"verts": jnp.asarray(verts[4:])}
+    exc = {"verts": jnp.asarray(verts[4:])}
+    return model, params, tables, batch, interp, exc
+
+
+def test_full_train_step_decreases_loss(setup):
+    model, params, tables, batch, interp, exc = setup
+    flags = StepFlags()
+    opt = make_optimizer(1e-3, 5e-5, 0.99, steps_per_epoch=10)
+    step = make_train_step(model, tables, opt, flags, exc_variant="ori",
+                           donate=False)
+    opt_state = opt.init(params)
+    sampler = EditSampler(edit_mode="equal", seed=2)
+    spec = sampler.sample_interp(epoch=1, batch_size=4)
+    spec = {k: jnp.asarray(v) for k, v in spec.items()}
+    losses = []
+    for _ in range(5):
+        params, opt_state, metrics = step(params, opt_state, batch, interp,
+                                          exc, spec)
+        losses.append(float(metrics["loss"]))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+    assert losses[-1] < losses[0]
+    # every branch actually contributed
+    for key in ("rec", "edgereg", "zpartreg", "vol", "interp_kps",
+                "interp_euc", "exc_kps", "exc_euc"):
+        assert key in metrics
+
+
+def test_exc_variant_m_compiles(setup):
+    model, params, tables, batch, interp, exc = setup
+    flags = StepFlags()
+    opt = make_optimizer(1e-3, 5e-5, 0.99, steps_per_epoch=10)
+    step = make_train_step(model, tables, opt, flags, exc_variant="m",
+                           donate=False)
+    opt_state = opt.init(params)
+    spec = EditSampler(edit_mode="rand", seed=3).sample_interp(1, 4)
+    spec = {k: jnp.asarray(v) for k, v in spec.items()}
+    _, _, metrics = step(params, opt_state, batch, interp, exc, spec)
+    assert "vol" not in metrics          # volume loss only under 'ori'
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_flags_for_epoch_gating(small_cfg):
+    t = small_cfg.train
+    f = flags_for_epoch(t, epoch=1)
+    assert f.edgereg and f.zpartreg and f.interp and f.exc and f.vol
+    t2 = t.__class__(**{**t.__dict__, "edgereg_epoch": 5})
+    f2 = flags_for_epoch(t2, epoch=3)
+    assert not f2.edgereg
+
+
+def test_eval_step_metrics(setup):
+    model, params, tables, batch, _, _ = setup
+    ev = make_eval_step(model, tables)
+    out = ev(params, batch)
+    assert out["rec"].shape == batch["verts"].shape
+    assert out["z"].shape == (4, 17, 8)
+    assert np.isfinite(float(out["l1"]))
+    # mm metric is 1000x the raw euclidean scale
+    assert float(out["l2_mm"]) > float(out["l1"])
+
+
+def test_edit_sampler_modes():
+    s = EditSampler(edit_mode="rand", rand_mode="warm_up", noleaf_flag=True,
+                    seed=0)
+    spec = s.sample_interp(epoch=10, batch_size=4)   # warm_up epoch<20 -> 1
+    assert spec["a_full"].shape == (4, 17)
+    assert spec["n_edited"] <= 1
+    s2 = EditSampler(edit_mode="equal", seed=0)
+    spec2 = s2.sample_interp(epoch=1, batch_size=4)
+    assert spec2["n_edited"] == 12      # all non-leaf parts
+    edited_vals = spec2["a_full"][:, spec2["edited_mask"] > 0]
+    assert np.allclose(edited_vals, edited_vals[0, 0])
+    assert 0.8 <= edited_vals[0, 0] <= 1.2
+    # exc edit mode uses flipped measure ratios
+    m = np.abs(np.random.default_rng(0).normal(1, 0.1, (4, 32))).astype(
+        np.float32)
+    s3 = EditSampler(edit_mode="exc", seed=0)
+    spec3 = s3.sample_interp(1, 4, measure=m)
+    assert spec3["a_full"].shape == (4, 17)
+    # variant coin flip is deterministic under seed
+    s4 = EditSampler(exc_mode="ori_or_m", seed=1)
+    seq = [s4.sample_exc_variant() for _ in range(8)]
+    s5 = EditSampler(exc_mode="ori_or_m", seed=1)
+    assert seq == [s5.sample_exc_variant() for _ in range(8)]
