@@ -1,0 +1,242 @@
+"""Host data pipeline.
+
+Replaces the reference's torch Dataset/DataLoader stack (shape_data.py,
+autoencoder_dataset.py) with a TPU-oriented design:
+
+  * `MeshData` — dataset container: monolithic [N, V, 3] arrays (memory-
+    mapped), template mesh, split handling, normalization statistics, mesh
+    export (reference: shape_data.py).
+  * `BatchLoader` — seeded-shuffle batched iterator applying the reference's
+    substring-matched normalization modes, NaN scrubbing, dummy-vertex
+    append and measure vectors (reference: autoencoder_dataset.py:26-56),
+    vectorized per batch instead of per sample.
+  * `prefetch_to_device` — stages batches onto the device ahead of compute
+    (replaces DataLoader worker processes; on TPU the wins come from
+    overlapping H2D copies, not from forking Python).
+
+Both on-disk layouts are supported: the per-sample
+`points_{split}/NNNNNN.npy` + `paths_{split}.npy` layout produced by the
+preprocessing CLI, and direct `preprocessed/{train,test}.npy` arrays
+(memmapped, preferred).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..topology.obj_io import load_obj, save_obj
+
+
+@dataclass
+class ShapeStats:
+    mean: np.ndarray | None = None     # 'gass': per-vertex mean/std of train
+    std: np.ndarray | None = None
+    center: np.ndarray | None = None   # 'normal': per-sample bbox center
+    scale: np.ndarray | None = None    # 'normal': per-sample 1/bbox-extent
+
+
+class MeshData:
+    """Dataset container for one fixed-topology mesh dataset."""
+
+    def __init__(self, root_dir: str, n_val: int = 0,
+                 normalization: str = "No", mmap: bool = True):
+        self.root_dir = root_dir
+        self.normalization = normalization
+        pre = os.path.join(root_dir, "preprocessed")
+        mode = "r" if mmap else None
+        train = np.load(os.path.join(pre, "train.npy"), mmap_mode=mode)
+        self.vertices_train = train[:len(train) - n_val]
+        self.vertices_val = train[len(train) - n_val:]
+        test_path = os.path.join(pre, "test.npy")
+        self.vertices_test = (np.load(test_path, mmap_mode=mode)
+                              if os.path.exists(test_path) else None)
+        self.n_vertex = self.vertices_train.shape[1]
+        self.n_features = self.vertices_train.shape[2]
+        tpl = os.path.join(root_dir, "template", "template.obj")
+        self.template_verts, self.template_faces = load_obj(tpl)
+        self.stats = self._compute_stats()
+
+    def _compute_stats(self) -> ShapeStats:
+        s = ShapeStats()
+        if self.normalization == "gass":
+            s.mean = np.mean(self.vertices_train, axis=0)
+            s.std = np.std(self.vertices_train, axis=0)
+        elif self.normalization == "normal":
+            vt = self.vertices_test
+            s.center = (np.max(vt, axis=1) + np.min(vt, axis=1)) / 2
+            s.scale = 1.0 / (np.max(vt, axis=1) - np.min(vt, axis=1))
+        return s
+
+    def save_meshes(self, prefix: str, meshes: np.ndarray, indices,
+                    vert_colors=None, kps=None, skl_list=None):
+        """Export reconstructed meshes as OBJ (reference: shape_data.py:86-145).
+        Undoes 'gass'/'normal' normalization using stored stats."""
+        for i in range(len(meshes)):
+            v = meshes[i].reshape(self.n_vertex, self.n_features)
+            if self.normalization == "gass":
+                v = v * self.stats.std + self.stats.mean
+            elif self.normalization == "normal":
+                v = v / self.stats.scale[indices[i]] \
+                    + self.stats.center[indices[i]]
+            save_obj(f"{prefix}_{str(int(indices[i])).zfill(6)}.obj", v,
+                     self.template_faces, vert_colors=vert_colors,
+                     kps=None if kps is None else kps[i], skl_list=skl_list)
+
+
+class ArraySource:
+    """Batch source over an in-memory / memmapped [N, V, 3] array."""
+
+    def __init__(self, verts: np.ndarray, measures: np.ndarray | None = None):
+        self.verts = verts
+        self.measures = measures
+
+    def __len__(self):
+        return len(self.verts)
+
+    def take(self, idx: np.ndarray) -> dict:
+        out = {"verts": np.asarray(self.verts[idx], dtype=np.float32),
+               "idx": idx}
+        if self.measures is not None:
+            out["measure"] = np.asarray(self.measures[idx], dtype=np.float32)
+        return out
+
+
+class FileSource:
+    """Batch source over the per-sample `points_{split}/` directory layout."""
+
+    def __init__(self, root_dir: str, split: str, measure: bool = False):
+        self.root = root_dir
+        self.split = split
+        self.names = [str(n) for n in
+                      np.load(os.path.join(root_dir, f"paths_{split}.npy"))]
+        self.measure = measure
+
+    def __len__(self):
+        return len(self.names)
+
+    def take(self, idx: np.ndarray) -> dict:
+        pts = np.stack([
+            np.load(os.path.join(self.root, f"points_{self.split}",
+                                 self.names[i] + ".npy"))
+            for i in idx]).astype(np.float32)
+        out = {"verts": pts, "idx": idx}
+        if self.measure:
+            out["measure"] = np.stack([
+                np.load(os.path.join(self.root, f"measure_{self.split}",
+                                     self.names[i] + ".npy"))
+                for i in idx]).astype(np.float32)
+        return out
+
+
+def normalize_batch(verts: np.ndarray, normalization: str,
+                    j_regressor: np.ndarray | None = None,
+                    stats: ShapeStats | None = None,
+                    idx: np.ndarray | None = None) -> np.ndarray:
+    """Substring-matched normalization modes, vectorized over the batch
+    (reference: autoencoder_dataset.py:29-43)."""
+    v = verts
+    if "zeromean" in normalization:
+        v = v - np.mean(v, axis=1, keepdims=True)
+    if "zeroroot" in normalization:
+        root = np.einsum("v,bvd->bd", j_regressor[0], v)
+        v = v - root[:, None, :]
+    if "onelength" in normalization:
+        ext = (np.max(v, axis=1) - np.min(v, axis=1))[:, 1]
+        v = v / ext[:, None, None] * 1.5
+    if "small" in normalization:
+        v = v / 1.5
+    if "gass" in normalization:
+        v = (v - stats.mean) / stats.std
+    if "normal" in normalization:
+        v = (v - stats.center[idx][:, None, :]) * stats.scale[idx][:, None, None]
+    v = np.nan_to_num(v, nan=0.0)
+    return v
+
+
+class BatchLoader:
+    """Seeded-shuffle batch iterator with normalization + dummy vertex."""
+
+    def __init__(self, source, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, normalization: str = "No",
+                 j_regressor: np.ndarray | None = None,
+                 stats: ShapeStats | None = None, dummy_node: bool = True,
+                 drop_last: bool = False, pad_final: bool = False):
+        self.source = source
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.normalization = normalization
+        self.j_regressor = (None if j_regressor is None
+                            else np.asarray(j_regressor, np.float32))
+        self.stats = stats
+        self.dummy_node = dummy_node
+        self.drop_last = drop_last
+        self.pad_final = pad_final
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.source)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self):
+        n = len(self.source)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for s in range(0, stop, self.batch_size):
+            idx = order[s:s + self.batch_size]
+            pad = 0
+            if self.pad_final and len(idx) < self.batch_size:
+                pad = self.batch_size - len(idx)
+                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            batch = self.source.take(idx)
+            v = normalize_batch(batch["verts"], self.normalization,
+                                self.j_regressor, self.stats, idx)
+            if self.dummy_node:
+                z = np.zeros((v.shape[0], 1, v.shape[2]), dtype=v.dtype)
+                v = np.concatenate([v, z], axis=1)
+            batch["verts"] = v
+            batch["pad"] = pad
+            yield batch
+
+    def cycle(self):
+        """Endless iterator (the interp/exc loaders never exhaust)."""
+        while True:
+            yield from self
+            self.epoch += 1
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Stage `size` batches ahead on device.  With a `sharding`, batches are
+    laid out across the data-parallel mesh as they land."""
+    import collections
+    import jax
+
+    def put(batch):
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and v.dtype != object
+                  and k != "idx"}
+        rest = {k: v for k, v in batch.items() if k not in arrays}
+        if sharding is not None:
+            arrays = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+        else:
+            arrays = {k: jax.device_put(v) for k, v in arrays.items()}
+        return {**arrays, **rest}
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,314 @@
+"""Trainer: the single init+train+eval orchestration path.
+
+Replaces the reference's duplicated module-level scripts (main.py and
+utils_SH.py:225-410 replay the same precompute) with one class:
+
+  topology compile (cached) -> assets -> model -> loss tables -> optimizer
+  -> jitted step cache -> epoch loop (train/val) -> orbax checkpoints
+  -> final eval + prediction export.
+
+Data-parallel by default: batch arrays land sharded over all local devices,
+params replicated; XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..constants import SKL_LIST
+from ..data.assets import BodyAssets
+from ..data.dataset import (ArraySource, BatchLoader, FileSource, MeshData,
+                            prefetch_to_device)
+from ..models import build_model
+from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from ..topology import compile_topology
+from ..utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from ..utils.logging import MetricsLogger
+from . import losses as L
+from .edits import EditSampler
+from .optim import make_optimizer
+from .step import (flags_for_epoch, make_baseline_train_step, make_eval_step,
+                   make_train_step)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, workdir: str,
+                 assets: BodyAssets | None = None, data=None):
+        self.cfg = cfg
+        self.workdir = workdir
+        for sub in ("checkpoints", "summaries", "samples", "predictions"):
+            os.makedirs(os.path.join(workdir, sub), exist_ok=True)
+
+        # --- assets + data ----------------------------------------------------
+        if assets is None:
+            if cfg.data.synthetic:
+                assets, sh = BodyAssets.synthetic()
+                self._synthetic = sh
+            else:
+                assets = BodyAssets.load(
+                    cfg.data.asset_dir,
+                    os.path.join(cfg.data.root_dir, "template",
+                                 "template.obj"))
+                self._synthetic = None
+        self.assets = assets
+        self._setup_data(data)
+
+        # --- topology (cached per ds_factors) --------------------------------
+        m = cfg.model
+        tag = "".join(str(f) for f in m.ds_factors)
+        cache = os.path.join(workdir, f"topology_{tag}.npz")
+        self.hierarchy = compile_topology(
+            assets.template_verts, assets.template_faces,
+            ds_factors=m.ds_factors, step_sizes=m.step_sizes,
+            dilation=m.dilation,
+            reference_vertex=min(414, len(assets.template_verts) - 1),
+            cache_path=cache)
+
+        # --- model / losses / optimizer --------------------------------------
+        self.model = build_model(cfg, self.hierarchy, assets.part_dict)
+        self.tables = L.build_loss_tables(
+            assets.template_faces, assets.j_regressor, assets.part_dict)
+        self.steps_per_epoch = max(len(self.train_loader), 1)
+        self.optimizer = make_optimizer(
+            cfg.train.lr, cfg.train.weight_decay, cfg.train.lr_decay,
+            self.steps_per_epoch)
+        self.params = self.model.init(cfg.train.seed)
+        self.opt_state = self.optimizer.init(self.params)
+        self.start_epoch = 1
+        self.global_step = 0
+        if cfg.train.resume:
+            self._resume(cfg.train.resume, cfg.train.finetune)
+
+        # --- parallel placement ----------------------------------------------
+        # DP over the largest device count that divides every batch size
+        self.mesh = None
+        self.batch_shard = None
+        if cfg.train.data_parallel and len(jax.devices()) > 1:
+            t = cfg.train
+            n = len(jax.devices())
+            while n > 1 and any(b % n for b in
+                                (t.batch_train, t.batch_interp, t.batch_test)):
+                n -= 1
+            if n > 1:
+                self.mesh = make_mesh(jax.devices()[:n])
+                self.batch_shard = batch_sharding(self.mesh)
+                rep = replicated_sharding(self.mesh)
+                self.params = jax.device_put(self.params, rep)
+                self.opt_state = jax.device_put(self.opt_state, rep)
+
+        self.sampler = EditSampler(
+            edit_mode=cfg.train.edit_mode, rand_mode=cfg.train.rand_mode,
+            factor=cfg.train.factor, noleaf_flag=cfg.train.noleaf_flag,
+            editskl_flag=cfg.train.editskl_flag, exc_mode=cfg.train.exc_mode,
+            seed=cfg.train.seed)
+        self.logger = MetricsLogger(os.path.join(workdir, "summaries"))
+        self._step_cache: dict = {}
+        self._eval_step = None
+        self.is_part_model = cfg.model.model_type == "multiz+partkps"
+
+    # --- data ------------------------------------------------------------------
+    def _setup_data(self, data):
+        cfg = self.cfg
+        jr = self.assets.j_regressor
+        if data is not None:
+            self.data = data
+        elif cfg.data.synthetic:
+            sh = self._synthetic
+            train = sh.sample_meshes(cfg.data.synthetic_train,
+                                     seed=cfg.train.seed)
+            test = sh.sample_meshes(cfg.data.synthetic_test,
+                                    seed=cfg.train.seed + 1)
+            self.data = {
+                "train": ArraySource(train.astype(np.float32),
+                                     sh.measures(train).astype(np.float32)),
+                "val": ArraySource(test.astype(np.float32)),
+                "test": ArraySource(test.astype(np.float32)),
+            }
+            self.mesh_data = None
+        else:
+            root = os.path.join(cfg.data.root_dir, "preprocessed")
+            self.mesh_data = MeshData(cfg.data.root_dir, cfg.data.n_val,
+                                      cfg.data.normalization)
+            self.data = {
+                split: FileSource(root, split, measure=cfg.data.measure
+                                  and split == "train")
+                for split in ("train", "val", "test")
+                if os.path.exists(os.path.join(root, f"paths_{split}.npy"))}
+            if "val" not in self.data:
+                self.data["val"] = self.data["test"]
+        stats = getattr(getattr(self, "mesh_data", None), "stats", None)
+        t = cfg.train
+        common = dict(normalization=cfg.data.normalization, j_regressor=jr,
+                      stats=stats)
+        self.train_loader = BatchLoader(
+            self.data["train"], t.batch_train, shuffle=cfg.data.shuffle,
+            seed=t.seed, drop_last=True, **common)
+        self.interp_loader = BatchLoader(
+            self.data["train"], t.batch_interp, shuffle=cfg.data.shuffle,
+            seed=t.seed + 101, drop_last=True, **common)
+        self.val_loader = BatchLoader(
+            self.data["val"], t.batch_test, shuffle=False, seed=0,
+            pad_final=True, **common)
+        self.test_loader = BatchLoader(
+            self.data["test"], t.batch_test, shuffle=False, seed=0,
+            pad_final=True, **common)
+
+    # --- checkpoint -------------------------------------------------------------
+    def _ckpt_dir(self):
+        return os.path.join(self.workdir, "checkpoints")
+
+    def _resume(self, resume_dir: str, finetune: bool):
+        like = {"params": self.params, "opt_state": self.opt_state,
+                "epoch": 0, "step": 0}
+        state, _ = restore_checkpoint(resume_dir, like=like)
+        self.params = state["params"]
+        if not finetune:
+            self.opt_state = state["opt_state"]
+            self.start_epoch = int(state["epoch"]) + 1
+            self.global_step = int(state["step"])
+
+    def save(self, epoch: int):
+        save_checkpoint(self._ckpt_dir(), epoch, {
+            "params": self.params, "opt_state": self.opt_state,
+            "epoch": epoch, "step": self.global_step})
+
+    # --- steps ------------------------------------------------------------------
+    def _get_step(self, epoch: int, variant: str):
+        flags = flags_for_epoch(self.cfg.train, epoch)
+        key = (flags, variant)
+        if key not in self._step_cache:
+            if self.is_part_model:
+                self._step_cache[key] = make_train_step(
+                    self.model, self.tables, self.optimizer, flags, variant)
+            else:
+                self._step_cache[key] = make_baseline_train_step(
+                    self.model, self.tables, self.optimizer, flags)
+        return self._step_cache[key]
+
+    def _put(self, batch: dict) -> dict:
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and v.dtype.kind == "f"}
+        if self.batch_shard is not None:
+            arrays = {k: jax.device_put(v, self.batch_shard)
+                      for k, v in arrays.items()}
+        return {**batch, **arrays}
+
+    # --- main loop ---------------------------------------------------------------
+    def fit(self, n_epochs: int | None = None):
+        cfg = self.cfg
+        n_epochs = n_epochs or cfg.train.n_epochs
+        interp_iter = self.interp_loader.cycle()
+        for epoch in range(self.start_epoch, n_epochs + 1):
+            self.train_loader.set_epoch(epoch)
+            t0 = time.time()
+            tloss, tcount = 0.0, 0
+            last_batch = None
+            for batch in self.train_loader:
+                batch = self._put(batch)
+                if self.is_part_model:
+                    interp_b = self._put(next(interp_iter))
+                    exc_b = self._put(next(interp_iter))
+                    variant = self.sampler.sample_exc_variant()
+                    spec = self.sampler.sample_interp(
+                        epoch, interp_b["verts"].shape[0],
+                        measure=interp_b.get("measure"))
+                    spec = {k: jnp.asarray(v) for k, v in spec.items()}
+                    step = self._get_step(epoch, variant)
+                    self.params, self.opt_state, metrics = step(
+                        self.params, self.opt_state, batch, interp_b, exc_b,
+                        spec)
+                else:
+                    step = self._get_step(epoch, "ori")
+                    self.params, self.opt_state, metrics = step(
+                        self.params, self.opt_state, batch)
+                bs = batch["verts"].shape[0]
+                tloss += float(metrics["loss"]) * bs
+                tcount += bs
+                self.global_step += 1
+                if cfg.train.log_every and (
+                        self.global_step % cfg.train.log_every == 0):
+                    self.logger.log(self.global_step, metrics)
+                last_batch = batch
+
+            self.logger.log(self.global_step, metrics)
+            epoch_tloss = tloss / max(tcount, 1)
+            vloss = self.validate()
+            self.logger.log(epoch, {"epoch_train": epoch_tloss,
+                                    "epoch_val": vloss}, prefix="epoch")
+            print(f"epoch {epoch} | tr {epoch_tloss:.6f} | val {vloss:.6f} "
+                  f"| {time.time() - t0:.1f}s", flush=True)
+
+            if epoch % cfg.train.ck_frequency == 0:
+                self.save(epoch)
+            if cfg.train.save_recons and epoch % 50 == 0 and last_batch is not None:
+                self._dump_sample(epoch, last_batch)
+        return self
+
+    def validate(self) -> float:
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.model, self.tables)
+        total, count = 0.0, 0
+        for batch in self.val_loader:
+            batch = self._put(batch)
+            out = self._eval_step(self.params, batch)
+            n_valid = batch["verts"].shape[0] - batch.get("pad", 0)
+            total += float(jnp.sum(out["l1"][:n_valid]))
+            count += n_valid
+        return total / max(count, 1)
+
+    def evaluate(self, loader=None, mm_constant: float = 1000.0):
+        """Full test-set eval: returns (predictions, z, z_kps, inputs,
+        mean L1, mean per-vertex mm error) — reference test_funcs.py:61-110."""
+        loader = loader or self.test_loader
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.model, self.tables,
+                                             mm_constant)
+        preds, zs, zkps, txs = [], [], [], []
+        l1_sum, l2_sum, count = 0.0, 0.0, 0
+        for batch in loader:
+            batch = self._put(batch)
+            out = self._eval_step(self.params, batch)
+            n_valid = batch["verts"].shape[0] - batch.get("pad", 0)
+            preds.append(np.asarray(out["rec"][:n_valid]))
+            zs.append(np.asarray(out["z"][:n_valid]))
+            zkps.append(np.asarray(out["z_kps"][:n_valid]))
+            txs.append(np.asarray(batch["verts"][:n_valid]))
+            l1_sum += float(jnp.sum(out["l1"][:n_valid]))
+            l2_sum += float(jnp.sum(out["l2_mm"][:n_valid]))
+            count += n_valid
+        return (np.concatenate(preds), np.concatenate(zs),
+                np.concatenate(zkps), np.concatenate(txs),
+                l1_sum / count, l2_sum / count)
+
+    def export_predictions(self, out_dir: str | None = None):
+        out_dir = out_dir or os.path.join(self.workdir, "predictions")
+        os.makedirs(out_dir, exist_ok=True)
+        preds, z, z_kps, tx, l1, l2 = self.evaluate()
+        np.save(os.path.join(out_dir, "predictions.npy"), preds)
+        np.save(os.path.join(out_dir, "z_s.npy"), z)
+        np.save(os.path.join(out_dir, "z_kps_s.npy"), z_kps)
+        np.save(os.path.join(out_dir, "tx_s.npy"), tx)
+        with open(os.path.join(self.workdir, "checkpoints",
+                               "train_params.txt"), "a") as f:
+            f.write(f"autoencoder: L1 loss {l1}\n")
+            f.write(f"autoencoder: euclidean distance in mm {l2}\n")
+        return preds, z, z_kps, tx, l1, l2
+
+    def _dump_sample(self, epoch: int, batch: dict):
+        """GT + reconstruction OBJ spot-dumps (train_funcs.py:459-470)."""
+        from ..topology.obj_io import save_obj
+        out = self._eval_step or make_eval_step(self.model, self.tables)
+        res = out(self.params, batch)
+        sdir = os.path.join(self.workdir, "samples")
+        gt = np.asarray(batch["verts"][0, :-1])
+        rec = np.asarray(res["rec"][0, :-1])
+        save_obj(os.path.join(sdir, f"epoch{epoch}_GT.obj"), gt,
+                 self.assets.template_faces)
+        save_obj(os.path.join(sdir, f"epoch{epoch}_rec.obj"), rec,
+                 self.assets.template_faces)

@@ -233,14 +233,21 @@ def make_eval_step(model, tables: L.LossTables, mm_constant: float = 1000.0):
     jreg = jnp.asarray(tables.j_regressor)
     kps_keep = jnp.asarray(tables.kps_keep)
 
+    part_model = hasattr(model, "kps_encode")
+
     def step(params, batch):
         tx = batch["verts"]
-        kps = L.regress_kps(tx[:, :-1], jreg)
-        rec, z, z_kps = model(params, tx, jnp.take(kps, kps_keep, axis=1))
+        if part_model:
+            kps = L.regress_kps(tx[:, :-1], jreg)
+            rec, z, z_kps = model(params, tx, jnp.take(kps, kps_keep, axis=1))
+        else:
+            rec, z = model(params, tx)
+            z_kps = jnp.zeros((tx.shape[0], 0, 0), tx.dtype)
         x, xr = tx[:, :-1], rec[:, :-1]
-        l1 = jnp.mean(jnp.abs(xr - x))
+        # per-sample metrics so the caller can mask padded rows exactly
+        l1 = jnp.mean(jnp.abs(xr - x), axis=(1, 2))
         l2mm = jnp.mean(jnp.sqrt(jnp.sum(
-            ((xr - x) * mm_constant) ** 2, axis=2)))
+            ((xr - x) * mm_constant) ** 2, axis=2)), axis=1)
         return {"rec": rec, "z": z, "z_kps": z_kps, "l1": l1, "l2_mm": l2mm}
 
     return jax.jit(step)

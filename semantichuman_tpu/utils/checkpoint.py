@@ -1,0 +1,62 @@
+"""Orbax-backed checkpointing of the train state
+(replaces the reference's torch.save dicts — train_funcs.py:450-455 — and
+its CPU round-trip around every save, train_funcs.py:442,457).
+
+State layout: {"params", "opt_state", "epoch", "step"} pytree.  Also ships
+an importer for reference-format torch .pth.tar checkpoints so users can
+carry weights across (utils/torch_import.py does the name mapping).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import orbax.checkpoint as ocp
+
+
+def _abspath(path: str) -> str:
+    return os.path.abspath(path)
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: dict) -> str:
+    """Save a state pytree under ckpt_dir/<step>."""
+    path = os.path.join(_abspath(ckpt_dir), str(step))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, step: int | None = None,
+                       like: dict | None = None) -> tuple[dict, int]:
+    """Restore (state, step).  step=None restores the latest."""
+    base = _abspath(ckpt_dir)
+    if step is None:
+        steps = [int(d) for d in os.listdir(base) if d.isdigit()]
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {base}")
+        step = max(steps)
+    path = os.path.join(base, str(step))
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            target = jax.tree.map(ocp.utils.to_shape_dtype_struct
+                                  if hasattr(ocp.utils, "to_shape_dtype_struct")
+                                  else _to_sds, like)
+            state = ckptr.restore(path, target)
+        else:
+            state = ckptr.restore(path)
+    return state, step
+
+
+def _to_sds(x):
+    x = np.asarray(x) if not hasattr(x, "shape") else x
+    return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    base = _abspath(ckpt_dir)
+    if not os.path.isdir(base):
+        return None
+    steps = [int(d) for d in os.listdir(base) if d.isdigit()]
+    return max(steps) if steps else None

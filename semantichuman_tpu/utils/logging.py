@@ -1,0 +1,35 @@
+"""Metrics logging: JSONL always, TensorBoard when available
+(replaces tensorboardX scalars — reference train_funcs.py:395-404)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str, tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir)
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, scalars: dict, prefix: str = "loss"):
+        rec = {"step": step, "time": time.time()}
+        for k, v in scalars.items():
+            rec[k] = float(v)
+            if self._tb is not None:
+                self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

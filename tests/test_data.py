@@ -1,0 +1,120 @@
+"""Data-pipeline tests: normalization, loaders, file layout, prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+
+from semantichuman_tpu.data.dataset import (ArraySource, BatchLoader,
+                                            FileSource, MeshData,
+                                            ShapeStats, normalize_batch,
+                                            prefetch_to_device)
+
+
+@pytest.fixture(scope="module")
+def meshes(small_human):
+    return small_human.sample_meshes(10, seed=9).astype(np.float32)
+
+
+def test_normalize_zeroroot(meshes, small_human):
+    out = normalize_batch(meshes, "zeroroot", small_human.J_regressor)
+    root = np.einsum("v,bvd->bd", small_human.J_regressor[0], out)
+    np.testing.assert_allclose(root, 0.0, atol=1e-5)
+
+
+def test_normalize_zeromean(meshes):
+    out = normalize_batch(meshes, "zeromean")
+    np.testing.assert_allclose(out.mean(axis=1), 0.0, atol=1e-5)
+
+
+def test_normalize_nan_scrub(meshes):
+    bad = meshes.copy()
+    bad[0, 0, 0] = np.nan
+    out = normalize_batch(bad, "No")
+    assert np.isfinite(out).all()
+
+
+def test_normalize_gass_and_small(meshes):
+    stats = ShapeStats(mean=meshes.mean(axis=0), std=meshes.std(axis=0) + 1e-6)
+    out = normalize_batch(meshes, "gass", stats=stats)
+    assert abs(out.mean()) < 0.2
+    out2 = normalize_batch(meshes, "small")
+    np.testing.assert_allclose(out2, meshes / 1.5, atol=1e-6)
+
+
+def test_batch_loader_dummy_and_shuffle(meshes, small_human):
+    src = ArraySource(meshes, small_human.measures(meshes).astype(np.float32))
+    ld = BatchLoader(src, 4, shuffle=True, seed=1, drop_last=True,
+                     normalization="zeroroot",
+                     j_regressor=small_human.J_regressor)
+    batches = list(ld)
+    assert len(batches) == 2 == len(ld)
+    b = batches[0]
+    assert b["verts"].shape == (4, meshes.shape[1] + 1, 3)
+    np.testing.assert_array_equal(b["verts"][:, -1, :], 0.0)   # dummy row
+    assert b["measure"].shape == (4, 32)
+    # deterministic under the same seed+epoch
+    ld2 = BatchLoader(src, 4, shuffle=True, seed=1, drop_last=True,
+                      normalization="zeroroot",
+                      j_regressor=small_human.J_regressor)
+    np.testing.assert_array_equal(batches[0]["idx"], list(ld2)[0]["idx"])
+    # different epoch -> different order
+    ld2.set_epoch(1)
+    assert not np.array_equal(batches[0]["idx"], list(ld2)[0]["idx"])
+
+
+def test_batch_loader_pad_final(meshes):
+    src = ArraySource(meshes)
+    ld = BatchLoader(src, 4, pad_final=True)
+    batches = list(ld)
+    assert batches[-1]["verts"].shape[0] == 4
+    assert batches[-1]["pad"] == 2      # 10 = 4+4+2
+    assert batches[0]["pad"] == 0
+
+
+def test_file_layout_roundtrip(tmp_path, meshes, small_human):
+    """preprocessing layout: per-sample npys + paths index (data_generation)."""
+    root = tmp_path / "preprocessed"
+    os.makedirs(root / "points_train")
+    os.makedirs(root / "measure_train")
+    measures = small_human.measures(meshes).astype(np.float32)
+    names = []
+    for i in range(len(meshes)):
+        name = str(i).zfill(6)
+        np.save(root / "points_train" / f"{name}.npy", meshes[i])
+        np.save(root / "measure_train" / f"{name}.npy", measures[i])
+        names.append(name)
+    np.save(root / "paths_train.npy", names)
+    src = FileSource(str(root), "train", measure=True)
+    assert len(src) == 10
+    got = src.take(np.array([3, 7]))
+    np.testing.assert_allclose(got["verts"], meshes[[3, 7]], atol=1e-6)
+    np.testing.assert_allclose(got["measure"], measures[[3, 7]], atol=1e-6)
+
+
+def test_mesh_data_container(tmp_path, meshes, small_human):
+    pre = tmp_path / "preprocessed"
+    os.makedirs(pre)
+    np.save(pre / "train.npy", meshes[:8])
+    np.save(pre / "test.npy", meshes[8:])
+    tdir = tmp_path / "template"
+    os.makedirs(tdir)
+    from semantichuman_tpu.topology.obj_io import save_obj
+    save_obj(str(tdir / "template.obj"), small_human.template_verts,
+             small_human.template_faces)
+    md = MeshData(str(tmp_path), n_val=2)
+    assert md.vertices_train.shape[0] == 6
+    assert md.vertices_val.shape[0] == 2
+    assert md.vertices_test.shape[0] == 2
+    assert md.template_verts.shape == small_human.template_verts.shape
+    np.testing.assert_array_equal(md.template_faces,
+                                  small_human.template_faces)
+
+
+def test_prefetch_to_device(meshes):
+    src = ArraySource(meshes)
+    ld = BatchLoader(src, 5)
+    out = list(prefetch_to_device(iter(ld), size=2))
+    assert len(out) == 2
+    import jax
+    assert isinstance(out[0]["verts"], jax.Array)

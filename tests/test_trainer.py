@@ -1,0 +1,117 @@
+"""Trainer integration tests: short synthetic-data runs end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+from semantichuman_tpu.config import Config
+from semantichuman_tpu.train.loop import Trainer
+from tests.conftest import SMALL_MODEL_OVERRIDES
+
+
+def make_cfg(tmp, **train_overrides):
+    return Config.from_dict({
+        "model": dict(SMALL_MODEL_OVERRIDES),
+        "data": {"synthetic": True, "synthetic_train": 16,
+                 "synthetic_test": 8, "normalization": "zeroroot"},
+        "train": {"n_epochs": 2, "batch_train": 4, "batch_interp": 4,
+                  "batch_test": 4, "ck_frequency": 2, "log_every": 0,
+                  **train_overrides},
+    })
+
+
+@pytest.fixture(scope="module")
+def small_assets(small_human):
+    from semantichuman_tpu.data.assets import BodyAssets
+    from semantichuman_tpu.topology.adjacency import unique_edges
+    assets = BodyAssets(
+        template_verts=small_human.template_verts,
+        template_faces=small_human.template_faces,
+        j_regressor=small_human.J_regressor,
+        part_dict=small_human.part_dict,
+        girth_edges=small_human.girth_edges,
+        girth_factors=small_human.girth_factors,
+        edge_verts=unique_edges(small_human.template_faces))
+    return assets
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory, small_assets, small_human):
+    tmp = str(tmp_path_factory.mktemp("run"))
+    cfg = make_cfg(tmp)
+    tr = Trainer(cfg, tmp, assets=small_assets)
+    # swap in tiny synthetic data tied to the small human
+    tr.fit()
+    return tr, tmp
+
+
+def _small_trainer(tmp, small_assets, small_human, **overrides):
+    cfg = make_cfg(tmp, **overrides)
+    from semantichuman_tpu.data.dataset import ArraySource
+    train = small_human.sample_meshes(16, seed=0).astype(np.float32)
+    test = small_human.sample_meshes(8, seed=1).astype(np.float32)
+    data = {"train": ArraySource(train,
+                                 small_human.measures(train).astype(
+                                     np.float32)),
+            "val": ArraySource(test), "test": ArraySource(test)}
+    return Trainer(cfg, tmp, assets=small_assets, data=data)
+
+
+def test_fit_and_eval(tmp_path, small_assets, small_human):
+    tr = _small_trainer(str(tmp_path), small_assets, small_human)
+    tr.fit()
+    assert tr.global_step == 2 * len(tr.train_loader)
+    val = tr.validate()
+    assert np.isfinite(val)
+    preds, z, z_kps, tx, l1, l2 = tr.export_predictions()
+    n_test = 8
+    assert preds.shape[0] == n_test and tx.shape[0] == n_test
+    assert z.shape == (n_test, 17, 8) and z_kps.shape == (n_test, 17, 8)
+    assert np.isfinite(l1) and np.isfinite(l2)
+    # artifacts on disk
+    pdir = os.path.join(str(tmp_path), "predictions")
+    for f in ("predictions.npy", "z_s.npy", "z_kps_s.npy", "tx_s.npy"):
+        assert os.path.exists(os.path.join(pdir, f))
+    assert os.path.exists(os.path.join(str(tmp_path), "summaries",
+                                       "metrics.jsonl"))
+    # checkpoint written at ck_frequency
+    assert os.path.exists(os.path.join(str(tmp_path), "checkpoints", "2"))
+
+
+def test_resume_roundtrip(tmp_path, small_assets, small_human):
+    tmp1 = str(tmp_path / "a")
+    tr = _small_trainer(tmp1, small_assets, small_human)
+    tr.fit()
+    w0 = np.asarray(tr.params["conv"][0]["w"])
+    # resume into a fresh trainer and confirm weights carry over
+    tmp2 = str(tmp_path / "b")
+    tr2 = _small_trainer(tmp2, small_assets, small_human,
+                         resume=os.path.join(tmp1, "checkpoints"))
+    np.testing.assert_allclose(np.asarray(tr2.params["conv"][0]["w"]), w0,
+                               atol=1e-7)
+    assert tr2.start_epoch == 3
+    # finetune mode restarts the schedule but keeps weights
+    tmp3 = str(tmp_path / "c")
+    tr3 = _small_trainer(tmp3, small_assets, small_human,
+                         resume=os.path.join(tmp1, "checkpoints"),
+                         finetune=True)
+    assert tr3.start_epoch == 1
+    np.testing.assert_allclose(np.asarray(tr3.params["conv"][0]["w"]), w0,
+                               atol=1e-7)
+
+
+def test_baseline_model_trains(tmp_path, small_assets, small_human):
+    tr = _small_trainer(str(tmp_path), small_assets, small_human)
+    cfg = make_cfg(str(tmp_path / "n3dmm"))
+    cfg = Config.from_dict({**cfg.to_dict(),
+                            "model": dict(SMALL_MODEL_OVERRIDES,
+                                          model_type="neural3DMM", nz=32)})
+    from semantichuman_tpu.data.dataset import ArraySource
+    train = small_human.sample_meshes(8, seed=0).astype(np.float32)
+    data = {"train": ArraySource(train), "val": ArraySource(train[:4]),
+            "test": ArraySource(train[:4])}
+    tr2 = Trainer(cfg, str(tmp_path / "n3dmm"), assets=small_assets,
+                  data=data)
+    tr2.fit(n_epochs=1)
+    assert tr2.global_step == len(tr2.train_loader)
