@@ -27,7 +27,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BATCH = int(os.environ.get("SH_TPU_BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("SH_TPU_BENCH_BATCH", "128"))
 ITERS = int(os.environ.get("SH_TPU_BENCH_ITERS", "20"))
 WARMUP = int(os.environ.get("SH_TPU_BENCH_WARMUP", "3"))
 

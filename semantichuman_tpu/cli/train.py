@@ -1,0 +1,49 @@
+"""Training entry point (reference main.py parity).
+
+  python -m semantichuman_tpu.cli.train --config configs/train_dfaust.yaml \
+      --workdir results/run1 [--epochs N]
+
+Runs the full pipeline: topology compile (cached in the workdir), model +
+loss tables, epoch loop with checkpoints, final eval + prediction export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Train a SemanticHuman-TPU model.")
+    ap.add_argument("--config", default=None,
+                    help="YAML config (defaults mirror the reference recipe)")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override cfg.train.n_epochs")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir to resume from")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="force the synthetic dataset (no DFAUST needed)")
+    args = ap.parse_args(argv)
+
+    from ..config import Config
+    from ..train.loop import Trainer
+
+    cfg = Config.from_yaml(args.config) if args.config else Config()
+    if args.synthetic:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, synthetic=True))
+    if args.resume:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, resume=args.resume))
+
+    trainer = Trainer(cfg, args.workdir)
+    trainer.fit(args.epochs)
+    if cfg.train.eval_flag:
+        _p, _z, _zk, _tx, l1, l2mm = trainer.export_predictions()
+        print(f"test L1: {l1:.6f}")
+        print(f"test per-vertex euclidean (mm): {l2mm:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,9 @@ class DataConfig:
     synthetic: bool = False
     synthetic_train: int = 256
     synthetic_test: int = 64
+    # synthetic mesh resolution (None = SMPL-scale 53x130 ~ 6892 verts)
+    synthetic_n_theta: Optional[int] = None
+    synthetic_n_phi: Optional[int] = None
 
 
 @dataclass

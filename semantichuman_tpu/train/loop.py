@@ -48,7 +48,9 @@ class Trainer:
         # --- assets + data ----------------------------------------------------
         if assets is None:
             if cfg.data.synthetic:
-                assets, sh = BodyAssets.synthetic()
+                assets, sh = BodyAssets.synthetic(
+                    n_theta=cfg.data.synthetic_n_theta,
+                    n_phi=cfg.data.synthetic_n_phi)
                 self._synthetic = sh
             else:
                 assets = BodyAssets.load(

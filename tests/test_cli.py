@@ -1,0 +1,76 @@
+"""End-to-end CLI pipeline smoke test on a tiny synthetic dataset:
+make_synthetic -> obj2npy -> data_generation -> train -> demo
+(the reference's obj2npy.py / data_generation.py / main.py / demo.py flow)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from semantichuman_tpu.cli import (data_generation, demo, make_synthetic,
+                                   obj2npy, train)
+
+CFG = """
+model:
+  filter_sizes_enc: [[3, 8, 8, 16, 16], [[], [], [], [], []]]
+  filter_sizes_dec: [[16, 16, 8, 8, 8], [[], [], [], [], 3]]
+  use_pallas: false
+data:
+  root_dir: {root}
+  asset_dir: {root}/asset
+  normalization: zeroroot
+  measure: true
+train:
+  n_epochs: 1
+  batch_train: 4
+  batch_interp: 4
+  batch_test: 4
+  ck_frequency: 1
+"""
+
+
+@pytest.fixture(scope="module")
+def pipeline_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+def test_full_cli_pipeline(pipeline_dir):
+    root = os.path.join(pipeline_dir, "ds")
+
+    make_synthetic.main(["--out_dir", root, "--n_train", "12",
+                         "--n_test", "4", "--n_theta", "12",
+                         "--n_phi", "24"])
+    assert os.path.exists(os.path.join(root, "asset", "J_regressor.npy"))
+
+    obj2npy.main(["--save_path", root,
+                  "--trainobj_path", os.path.join(root, "obj_train"),
+                  "--testobj_path", os.path.join(root, "obj_test"),
+                  "--asset_dir", os.path.join(root, "asset")])
+    train_npy = np.load(os.path.join(root, "preprocessed", "train.npy"))
+    assert train_npy.shape[0] == 12 and train_npy.shape[2] == 3
+    meas = np.load(os.path.join(root, "preprocessed",
+                                "train_measurements.npy"))
+    assert meas.shape == (12, 32)
+    assert np.all(meas > 0)
+
+    data_generation.main(["-r", root, "--n_val", "2"])
+    for split, n in (("train", 10), ("val", 2), ("test", 4)):
+        names = np.load(os.path.join(root, "preprocessed",
+                                     f"paths_{split}.npy"))
+        assert len(names) == n
+
+    cfg_path = os.path.join(pipeline_dir, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG.format(root=root))
+    workdir = os.path.join(pipeline_dir, "run")
+    train.main(["--config", cfg_path, "--workdir", workdir])
+    assert os.path.exists(os.path.join(workdir, "predictions",
+                                       "predictions.npy"))
+    ckpts = os.listdir(os.path.join(workdir, "checkpoints"))
+    assert any(c.isdigit() for c in ckpts), ckpts
+
+    demo.main(["--config", cfg_path, "--workdir", workdir, "--skip_eval",
+               "--n_samples", "2"])
+    edits = os.listdir(os.path.join(workdir, "edits"))
+    assert {"sample0_rec.obj", "sample0_girth.obj", "sample0_style.obj",
+            "sample0_ori.obj", "sample0_bonelen.obj"} <= set(edits)
