@@ -35,7 +35,8 @@ from ..constants import (KPS_KEEP, LEAF_PART_INDICES, N_PARTS,
                          NOLEAF_IN_MEASURE, NOLEAF_PART_INDICES, SKL_LIST)
 from ..ops.distance import (face_edge_lengths, masked_pairwise_dist,
                             pairwise_dist, signed_part_volumes)
-from ..ops.skeleton import angle_weights
+from ..constants import bone_endpoint_arrays
+from ..ops.skeleton import bone_vectors
 
 
 @dataclass(frozen=True)
@@ -134,16 +135,29 @@ def weighted_distance_loss(tx_nodummy, rec_nodummy, kps_full, tables: LossTables
     a_full [B, 17] scales the GT distance matrix of edited parts (1.0
     elsewhere); edited_mask [17] + n_edited drive the '1/rand_num' part
     weighting.  Masked means replicate the reference's nozero_index
-    filtering (train_funcs.py:272-283)."""
-    angs = angle_weights(tx_nodummy, kps_full, tables.part_indices, SKL_LIST)
+    filtering (train_funcs.py:272-283).
+
+    The orientation angle is computed inline from the GT distance matrix:
+    (v_i - v_j)·bone == s_i - s_j with s = v·bone, so the [B, n, n, 3]
+    pair-direction tensor of the naive formulation (utils_SH.py:442-478,
+    ops.skeleton.angle_weights) is never materialized and the pairwise
+    distances are shared with the loss itself."""
+    a_, b1_, b2_ = bone_endpoint_arrays(SKL_LIST)
+    bones = bone_vectors(kps_full, a_, b1_, b2_)        # [B, 17, 3]
+    bone_norm = jnp.linalg.norm(bones, axis=-1)         # [B, 17]
     point_num = tx_nodummy.shape[1]
     total = 0.0
     for i, idx in enumerate(tables.part_indices):
         idxj = jnp.asarray(idx)
-        de = pairwise_dist(jnp.take(tx_nodummy, idxj, axis=1))
-        if a_full is not None:
-            de = de * a_full[:, i][:, None, None]
-        w = _distance_weights(angs[i], i, w_mode, w_threshold, leafkeep)
+        vp = jnp.take(tx_nodummy, idxj, axis=1)         # [B, n, 3]
+        de0 = pairwise_dist(vp)                         # unscaled GT dists
+        s = jnp.einsum("bnd,bd->bn", vp, bones[:, i, :])
+        dot = s[:, :, None] - s[:, None, :]
+        cos = jnp.abs(dot) / (de0 * bone_norm[:, i, None, None])
+        cos = jnp.clip(jnp.where(jnp.isnan(cos), 1.0, cos), 0.0, 1.0)
+        ang = jnp.arccos(cos) * (180.0 / jnp.pi)
+        de = de0 if a_full is None else de0 * a_full[:, i][:, None, None]
+        w = _distance_weights(ang, i, w_mode, w_threshold, leafkeep)
         mask = (w * de) != 0.0
         de_r = masked_pairwise_dist(jnp.take(rec_nodummy, idxj, axis=1), mask)
         count = jnp.maximum(jnp.sum(mask), 1)

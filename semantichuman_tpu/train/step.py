@@ -99,10 +99,54 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
     kps_keep = jnp.asarray(tables.kps_keep)
 
     def loss_fn(params, batch, interp_batch, exc_batch, edit_spec):
+        # The three branches (main rec, interp edit, skeleton exchange) share
+        # the conv trunk, so their forward passes are FUSED: one encode and
+        # one decode over the concatenated segments.  At the model's scale the
+        # step is dispatch-bound, and this cuts trunk dispatches 3x (the
+        # reference runs three sequential forwards, train_funcs.py:114-389).
         metrics = {}
         tx = batch["verts"]
+        segs = [tx]
         kps_full = L.regress_kps(tx[:, :-1], jreg)
-        rec, z, _z_kps = model(params, tx, jnp.take(kps_full, kps_keep, axis=1))
+        enc_kps = [jnp.take(kps_full, kps_keep, axis=1)]
+
+        if flags.interp:
+            txi = interp_batch["verts"]
+            kps_i = L.regress_kps(txi[:, :-1], jreg)
+            if flags.editskl:
+                newkps = _edited_kps(kps_i, edit_spec["skl_len_factor"])
+            else:
+                newkps = jnp.take(kps_i, kps_keep, axis=1)
+            segs.append(txi)
+            enc_kps.append(newkps)
+        if flags.exc:
+            txe = exc_batch["verts"]
+            kps_e = L.regress_kps(txe[:, :-1], jreg)
+            newkps_e = _exchanged_kps(kps_e, exc_variant)
+            segs.append(txe)
+            enc_kps.append(newkps_e)
+
+        sizes = [s.shape[0] for s in segs]
+        offs = np.cumsum([0] + sizes)
+
+        def split(arr):
+            return [arr[offs[i]:offs[i + 1]] for i in range(len(sizes))]
+
+        z_all, zk_all, dummy_all = model.encode(
+            params, jnp.concatenate(segs, axis=0),
+            jnp.concatenate(enc_kps, axis=0))
+        z_segs, zk_segs, dummy_segs = (split(z_all), split(zk_all),
+                                       split(dummy_all))
+        z = z_segs[0]
+        if flags.interp:
+            zi = z_segs[1] * edit_spec["a_full"][:, :, None]
+            z_segs[1] = zi
+        rec_all = model.decode(params, jnp.concatenate(z_segs, axis=0),
+                               jnp.concatenate(zk_segs, axis=0),
+                               jnp.concatenate(dummy_segs, axis=0))
+        rec_segs = split(rec_all)
+
+        rec = rec_segs[0]
         rec_l = L.rec_loss(tx, rec)
         loss = rec_l
         metrics["rec"] = rec_l
@@ -117,15 +161,7 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
             metrics["zpartreg"] = zr
 
         if flags.interp:
-            txi = interp_batch["verts"]
-            kps_i = L.regress_kps(txi[:, :-1], jreg)
-            if flags.editskl:
-                newkps = _edited_kps(kps_i, edit_spec["skl_len_factor"])
-            else:
-                newkps = jnp.take(kps_i, kps_keep, axis=1)
-            zi, zi_kps, dummy = model.encode(params, txi, newkps)
-            zi = zi * edit_spec["a_full"][:, :, None]
-            rec_i = model.decode(params, zi, zi_kps, dummy)
+            rec_i = rec_segs[1]
             if flags.interp_kps_w > 0:
                 kl = L.kps_consistency_loss(rec_i[:, :-1], newkps, jreg,
                                             kps_keep)
@@ -144,11 +180,7 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
                 metrics["interp_euc"] = el
 
         if flags.exc:
-            txe = exc_batch["verts"]
-            kps_e = L.regress_kps(txe[:, :-1], jreg)
-            newkps_e = _exchanged_kps(kps_e, exc_variant)
-            ze, ze_kps, dummy_e = model.encode(params, txe, newkps_e)
-            rec_e = model.decode(params, ze, ze_kps, dummy_e)
+            rec_e = rec_segs[-1]
             if flags.vol and exc_variant == "ori":
                 vl = L.volume_loss(txe[:, :-1], rec_e[:, :-1], tables)
                 loss = loss + flags.vol_w * vl
