@@ -25,8 +25,18 @@ def _load_native():
         return _LIB
     _LIB_TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for cand in (os.path.join(here, "native", "libaabb.so"),
-                 os.path.join(here, "libaabb.so")):
+    native_dir = os.path.join(here, "native")
+    so = os.path.join(native_dir, "libaabb.so")
+    if not os.path.exists(so) and os.path.exists(
+            os.path.join(native_dir, "aabb.cpp")):
+        # one-shot build on first use; silently fall back on failure
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
+    for cand in (so, os.path.join(here, "libaabb.so")):
         if os.path.exists(cand):
             try:
                 lib = ctypes.CDLL(cand)
