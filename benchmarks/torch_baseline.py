@@ -52,15 +52,18 @@ def build_torch_model(hier, coarse_parts, kps_index_list,
     U = [dense_up(l) for l in range(L)]
 
     class SpiralConvT(nn.Module):
-        def __init__(self, c_in, c_out, spiral):
+        def __init__(self, c_in, c_out, spiral, activation="elu"):
             super().__init__()
             self.register_buffer("spiral", spiral)
             self.lin = nn.Linear(spiral.shape[1] * c_in, c_out)
+            self.activation = activation
 
         def forward(self, x):
             b, v1, c = x.shape
             g = x[:, self.spiral.reshape(-1)].reshape(b, v1, -1)
-            y = torch.nn.functional.elu(self.lin(g))
+            y = self.lin(g)
+            if self.activation == "elu":
+                y = torch.nn.functional.elu(y)
             mask = torch.ones(v1, 1, device=x.device)
             mask[-1] = 0
             return y * mask
@@ -74,7 +77,9 @@ def build_torch_model(hier, coarse_parts, kps_index_list,
             self.dec = nn.ModuleList(
                 [SpiralConvT(dec_filters[i], dec_filters[i + 1],
                              spirals[L - 1 - i]) for i in range(L)])
-            self.dec_out = SpiralConvT(dec_filters[L], 3, spirals[0])
+            # final conv uses identity activation (reference models.py:275-281)
+            self.dec_out = SpiralConvT(dec_filters[L], 3, spirals[0],
+                                       activation="identity")
             c = enc_filters[-1]
             self.parts = [np.asarray(v) for v in coarse_parts.values()]
             self.enc_heads = nn.ModuleList(
@@ -93,7 +98,7 @@ def build_torch_model(hier, coarse_parts, kps_index_list,
                 x = torch.matmul(D[i], x)
             b = x.shape[0]
             z = torch.stack(
-                [h(x[:, torch.as_tensor(p)].reshape(b, -1))
+                [h(x[:, torch.as_tensor(p)].reshape(b, len(p) * self.c))
                  for h, p in zip(self.enc_heads, self.parts)], dim=1)
             z_kps = torch.stack(
                 [h(kps[:, torch.as_tensor(g)].reshape(b, -1))
@@ -102,7 +107,9 @@ def build_torch_model(hier, coarse_parts, kps_index_list,
             zz = torch.cat([z, z_kps], dim=-1)
             y = torch.zeros(b, sizes[-1] + 1, dec_filters[0])
             for k, (h, p) in enumerate(zip(self.dec_heads, self.parts)):
-                y[:, torch.as_tensor(p)] = h(zz[:, k]).reshape(b, len(p), -1)
+                if len(p):
+                    y[:, torch.as_tensor(p)] = h(zz[:, k]).reshape(
+                        b, len(p), dec_filters[0])
             y = torch.cat([y[:, :-1], dummy], dim=1)
             for i in range(L):
                 y = torch.matmul(U[L - 1 - i], y)
@@ -161,3 +168,38 @@ def get_or_measure(hier, coarse_parts, kps_index_list, j_regressor, kps_keep,
     with open(CACHE, "w") as f:
         json.dump(res, f, indent=1)
     return res
+
+
+def reference_state_dict(model) -> dict:
+    """Rename this torch model's state dict into the REFERENCE's key layout
+    (conv.{i}.conv.*, fc_latent_enc_list.{p}.*, ...) so it doubles as a
+    fixture for the checkpoint importer (utils/import_torch.py)."""
+    import torch
+
+    sd = model.state_dict()
+    out = {}
+    n_enc = len(model.enc)
+    n_dec = len(model.dec)
+    for k, v in sd.items():
+        if k.endswith(".spiral"):
+            continue
+        if k.startswith("enc."):
+            i = int(k.split(".")[1])
+            out[f"conv.{i}.conv.{k.split('.')[-1]}"] = v
+        elif k.startswith("dec_out."):
+            out[f"dconv.{n_dec}.conv.{k.split('.')[-1]}"] = v
+        elif k.startswith("dec."):
+            i = int(k.split(".")[1])
+            out[f"dconv.{i}.conv.{k.split('.')[-1]}"] = v
+        elif k.startswith("enc_heads."):
+            p = int(k.split(".")[1])
+            out[f"fc_latent_enc_list.{p}.{k.split('.')[-1]}"] = v
+        elif k.startswith("dec_heads."):
+            p = int(k.split(".")[1])
+            out[f"fc_latent_dec_list.{p}.{k.split('.')[-1]}"] = v
+        elif k.startswith("kps_heads."):
+            p = int(k.split(".")[1])
+            out[f"kps_enc_list.{p}.{k.split('.')[-1]}"] = v
+        else:
+            raise KeyError(f"unmapped torch key {k}")
+    return out

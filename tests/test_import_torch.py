@@ -1,0 +1,80 @@
+"""Reference-checkpoint import parity: a torch model computing the
+reference's recipe (dense D/U matmuls, per-part Linear loops) and our JAX
+model must produce identical outputs once weights are imported through
+utils/import_torch (the converter for reference .pth.tar checkpoints,
+train_funcs.py:450-455)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from benchmarks.torch_baseline import build_torch_model, reference_state_dict
+from semantichuman_tpu.constants import KPS_INDEX_LIST, KPS_KEEP
+from semantichuman_tpu.models import build_model
+from semantichuman_tpu.utils.import_torch import (import_part_ae_state,
+                                                  load_reference_checkpoint)
+
+
+@pytest.fixture(scope="module")
+def pair(small_cfg, small_hierarchy, small_human):
+    jax_model = build_model(small_cfg, small_hierarchy, small_human.part_dict)
+    coarse = small_hierarchy.downsample_part_indices(small_human.part_dict)
+    torch.manual_seed(0)
+    torch_model = build_torch_model(
+        small_hierarchy, coarse, KPS_INDEX_LIST,
+        enc_filters=[3, 8, 8, 16, 16], dec_filters=[16, 16, 8, 8, 8])
+    return jax_model, torch_model
+
+
+@pytest.fixture(scope="module")
+def batch(small_human):
+    meshes = small_human.sample_meshes(3, seed=11).astype(np.float32)
+    x = np.concatenate([meshes, np.zeros((3, 1, 3), np.float32)], axis=1)
+    kps = np.einsum("jv,bvd->bjd",
+                    small_human.J_regressor.astype(np.float32), meshes)
+    return x, kps[:, KPS_KEEP].astype(np.float32)
+
+
+def test_imported_forward_matches_torch(pair, batch):
+    jax_model, torch_model = pair
+    x, kps = batch
+    params = import_part_ae_state(reference_state_dict(torch_model),
+                                  jax_model)
+    with torch.no_grad():
+        t_rec, t_z, t_zk = torch_model(torch.as_tensor(x),
+                                       torch.as_tensor(kps))
+    j_rec, j_z, j_zk = jax_model(params, jnp.asarray(x), jnp.asarray(kps))
+    np.testing.assert_allclose(np.asarray(j_z), t_z.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_zk), t_zk.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_rec), t_rec.numpy(), atol=2e-4)
+
+
+def test_pth_tar_roundtrip(pair, batch, tmp_path):
+    """Full .pth.tar contract: the reference's checkpoint dict layout loads
+    through load_reference_checkpoint."""
+    jax_model, torch_model = pair
+    x, kps = batch
+    path = tmp_path / "checkpoint7.pth.tar"
+    torch.save({"epoch": 7,
+                "autoencoder_state_dict": reference_state_dict(torch_model),
+                "optimizer_state_dict": {},
+                "scheduler_state_dict": {}}, str(path))
+    params, epoch = load_reference_checkpoint(str(path), jax_model)
+    assert epoch == 7
+    with torch.no_grad():
+        t_rec = torch_model(torch.as_tensor(x), torch.as_tensor(kps))[0]
+    j_rec = jax_model(params, jnp.asarray(x), jnp.asarray(kps))[0]
+    np.testing.assert_allclose(np.asarray(j_rec), t_rec.numpy(), atol=2e-4)
+
+
+def test_import_rejects_wrong_part_layout(pair, small_hierarchy,
+                                          small_human):
+    jax_model, torch_model = pair
+    state = reference_state_dict(torch_model)
+    # corrupt one encoder head's fan-in
+    w = state["fc_latent_enc_list.0.weight"]
+    state["fc_latent_enc_list.0.weight"] = torch.cat([w, w], dim=1)
+    with pytest.raises(ValueError, match="part layout mismatch"):
+        import_part_ae_state(state, jax_model)
