@@ -109,6 +109,9 @@ class TrainConfig:
     # parallelism
     data_parallel: bool = True        # shard batch over all local devices
     log_every: int = 0                # extra step-level logging (0 = per-epoch)
+    # profiling: capture a jax.profiler trace of global steps [start, stop)
+    profile_start: int = 0
+    profile_stop: int = 0             # 0 = profiling off
 
 
 @dataclass

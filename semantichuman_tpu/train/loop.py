@@ -110,6 +110,12 @@ class Trainer:
             editskl_flag=cfg.train.editskl_flag, exc_mode=cfg.train.exc_mode,
             seed=cfg.train.seed)
         self.logger = MetricsLogger(os.path.join(workdir, "summaries"))
+        self.trace_window = None
+        if cfg.train.profile_stop > cfg.train.profile_start:
+            from ..utils.profiling import TraceWindow
+            self.trace_window = TraceWindow(
+                os.path.join(workdir, "profile"),
+                cfg.train.profile_start, cfg.train.profile_stop)
         self._step_cache: dict = {}
         self._eval_step = None
         self.is_part_model = cfg.model.model_type == "multiz+partkps"
@@ -212,6 +218,8 @@ class Trainer:
             tloss, tcount = 0.0, 0
             last_batch = None
             for batch in self.train_loader:
+                if self.trace_window is not None:
+                    self.trace_window.tick(self.global_step)
                 batch = self._put(batch)
                 if self.is_part_model:
                     interp_b = self._put(next(interp_iter))
@@ -250,6 +258,8 @@ class Trainer:
                 self.save(epoch)
             if cfg.train.save_recons and epoch % 50 == 0 and last_batch is not None:
                 self._dump_sample(epoch, last_batch)
+        if self.trace_window is not None:
+            self.trace_window.close()
         return self
 
     def validate(self) -> float:
