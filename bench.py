@@ -35,6 +35,9 @@ WARMUP = int(os.environ.get("SH_TPU_BENCH_WARMUP", "3"))
 def main():
     import jax
 
+    from semantichuman_tpu.utils.compilation_cache import enable_cache
+    enable_cache()
+
     from __graft_entry__ import _FULL_TOPO, _build, _host_batch
     from semantichuman_tpu.constants import KPS_INDEX_LIST, KPS_KEEP
     from semantichuman_tpu.train.edits import EditSampler

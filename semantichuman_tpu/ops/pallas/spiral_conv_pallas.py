@@ -92,16 +92,23 @@ _PROBE_RESULT: bool | None = None
 
 
 def _probe() -> bool:
-    """One-time check: does Mosaic compile the fused kernel on this chip?"""
+    """One-time check: does Mosaic compile AND differentiate the fused
+    kernel at realistic shapes on this chip?  Tiny shapes can slip through
+    Mosaic's single-vreg gather restriction that real vertex counts hit, and
+    pallas_call has no automatic VJP — so the probe must exercise both."""
     global _PROBE_RESULT
     if _PROBE_RESULT is not None:
         return _PROBE_RESULT
     try:
-        x = jnp.zeros((1, 16, 8), jnp.float32)
-        idx = jnp.zeros((16, 4), jnp.int32)
-        w = jnp.zeros((4 * 8, 8), jnp.float32)
-        bias = jnp.zeros((8,), jnp.float32)
-        jax.block_until_ready(spiral_conv_fused(x, idx, w, bias))
+        x = jnp.zeros((1, 1024, 128), jnp.float32)
+        idx = jnp.zeros((1024, 8), jnp.int32)
+        w = jnp.zeros((8 * 128, 128), jnp.float32)
+        bias = jnp.zeros((128,), jnp.float32)
+
+        def f(x):
+            return jnp.sum(spiral_conv_fused(x, idx, w, bias))
+
+        jax.block_until_ready(jax.grad(f)(x))
         _PROBE_RESULT = True
     except Exception:
         _PROBE_RESULT = False
@@ -110,9 +117,16 @@ def _probe() -> bool:
 
 def spiral_conv_auto(x, spiral_idx, w, bias, activation: str = "elu",
                      compute_dtype=None):
-    """Fused Pallas kernel when the toolchain supports it, else the XLA
-    gather+matmul path (identical semantics)."""
-    if _probe():
+    """XLA gather+matmul by default; the fused Pallas kernel only when
+    explicitly requested (SH_TPU_FORCE_PALLAS=1) AND the probe passes.
+
+    The opt-in default is deliberate: the current Mosaic toolchain rejects
+    multi-vreg gathers at real vertex counts, pallas_call lacks an automatic
+    VJP for the training path, and measured XLA gather+matmul already runs
+    near HBM bandwidth.
+    """
+    import os
+    if os.environ.get("SH_TPU_FORCE_PALLAS") and _probe():
         return spiral_conv_fused(x, spiral_idx, w, bias, activation,
                                  compute_dtype)
     return spiral_conv(x, spiral_idx, w, bias, activation, compute_dtype)
