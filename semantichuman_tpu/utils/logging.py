@@ -33,3 +33,32 @@ class MetricsLogger:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class AverageValueMeter:
+    """Streaming mean/std accumulator (reference: utils_distance.py:392-408)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.n = 0
+        self.sum = 0.0
+        self.sumsq = 0.0
+
+    def add(self, value, n: int = 1):
+        v = float(value)
+        self.n += n
+        self.sum += v * n
+        self.sumsq += v * v * n
+
+    @property
+    def mean(self) -> float:
+        return self.sum / self.n if self.n else float("nan")
+
+    @property
+    def std(self) -> float:
+        if self.n < 2:
+            return float("nan")
+        var = (self.sumsq - self.n * self.mean ** 2) / (self.n - 1)
+        return var ** 0.5 if var > 0 else 0.0

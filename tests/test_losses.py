@@ -205,3 +205,22 @@ def test_angle_weights_geometry():
     assert abs(a[0, 1]) < 1e-4            # pair along bone -> 0 deg
     assert abs(a[0, 2] - 90.0) < 1e-4     # orthogonal pair -> 90 deg
     assert abs(a[0, 0]) < 1e-4            # self pair (nan) -> 0 deg
+
+
+def test_edge_loss_zero_on_identity(small_human):
+    from semantichuman_tpu.topology.adjacency import unique_edges
+    import semantichuman_tpu.train.losses as L2
+    v = jnp.asarray(small_human.sample_meshes(2, seed=0), jnp.float32)
+    e = unique_edges(small_human.template_faces)
+    assert float(L2.edge_loss(v, v, e)) == 0.0
+    stretched = v * 1.1
+    assert float(L2.edge_loss(v, stretched, e)) > 0.0
+
+
+def test_average_value_meter():
+    from semantichuman_tpu.utils.logging import AverageValueMeter
+    m = AverageValueMeter()
+    for x in [1.0, 2.0, 3.0, 4.0]:
+        m.add(x)
+    assert m.mean == pytest.approx(2.5)
+    assert m.std == pytest.approx(np.std([1, 2, 3, 4], ddof=1))

@@ -210,3 +210,24 @@ def test_synthetic_human_contract():
     m = sh.measures(meshes)
     assert m.shape == (3, 32)
     assert np.all(m > 0)
+
+
+def test_compile_topology_given_level_meshes(small_human):
+    """Custom-topology alternate path (reference mesh_sampling.py:267-287):
+    pre-decimated meshes supplied, D from nearest-vertex, U barycentric."""
+    from semantichuman_tpu.topology import compile_topology
+    from semantichuman_tpu.topology.hierarchy import build_hierarchy
+
+    v, f = small_human.template_verts, small_human.template_faces
+    own = build_hierarchy(v, f, (2, 2))
+    meshes = [(own.verts[1], own.faces[1]), (own.verts[2], own.faces[2])]
+    h = compile_topology(v, f, ds_factors=(2, 2), step_sizes=(2, 2, 1),
+                         dilation=(1, 1, 1), reference_vertex=0,
+                         level_meshes=meshes)
+    assert h.n_levels == 3
+    assert h.sizes[0] == len(v)
+    assert [len(mv) for mv, _ in meshes] == h.sizes[1:]
+    # D maps every coarse vertex to a valid fine vertex
+    for l in range(2):
+        assert h.pool_idx[l][:-1].max() < h.sizes[l]
+        assert h.spirals[l].shape[0] == h.sizes[l] + 1
