@@ -208,9 +208,23 @@ class Trainer:
         return {**batch, **arrays}
 
     # --- main loop ---------------------------------------------------------------
+    def dump_part_template(self):
+        """Part-colored template OBJ visual spot-check at train start
+        (reference main.py:132-158)."""
+        from ..constants import PARTCOLOR_LIST
+        from ..topology.obj_io import save_obj
+        v = self.assets.template_verts
+        colors = np.full((len(v), 3), 192, dtype=np.int32)
+        for k, idx in enumerate(self.assets.part_dict.values()):
+            colors[np.asarray(idx)] = PARTCOLOR_LIST[k % len(PARTCOLOR_LIST)]
+        save_obj(os.path.join(self.workdir, "samples", "template_parts.obj"),
+                 v, self.assets.template_faces, vert_colors=colors)
+
     def fit(self, n_epochs: int | None = None):
         cfg = self.cfg
         n_epochs = n_epochs or cfg.train.n_epochs
+        if self.start_epoch == 1 and cfg.train.save_recons:
+            self.dump_part_template()
         interp_iter = self.interp_loader.cycle()
         for epoch in range(self.start_epoch, n_epochs + 1):
             self.train_loader.set_epoch(epoch)

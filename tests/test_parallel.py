@@ -1,0 +1,95 @@
+"""Data-parallel correctness: the SAME training step over an 8-device mesh
+must produce the same losses and parameter updates as a single device
+(SURVEY.md §7.2 step 5 — loss-curve equivalence)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from semantichuman_tpu.models import build_model
+from semantichuman_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                             replicated_sharding)
+from semantichuman_tpu.train import losses as L
+from semantichuman_tpu.train.edits import EditSampler
+from semantichuman_tpu.train.optim import make_optimizer
+from semantichuman_tpu.train.step import StepFlags, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup(small_cfg, small_hierarchy, small_human):
+    model = build_model(small_cfg, small_hierarchy, small_human.part_dict)
+    tables = L.build_loss_tables(small_human.template_faces,
+                                 small_human.J_regressor,
+                                 small_human.part_dict)
+    opt = make_optimizer(1e-3, 5e-5, 0.99, steps_per_epoch=1)
+    params = model.init(0)
+
+    def host_batch(seed):
+        b = 8
+        v = small_human.sample_meshes(b, seed=seed).astype(np.float32)
+        return {"verts": np.concatenate(
+                    [v, np.zeros((b, 1, 3), np.float32)], axis=1),
+                "measure": small_human.measures(v).astype(np.float32)}
+
+    spec = EditSampler(seed=0).sample_interp(epoch=200, batch_size=8)
+    return model, tables, opt, params, host_batch, spec
+
+
+def _run(setup, devices):
+    model, tables, opt, params, host_batch, spec = setup
+    mesh = make_mesh(devices)
+    bshard = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt.init(params), rep)
+    step = make_train_step(model, tables, opt, StepFlags(),
+                           exc_variant="ori", donate=False)
+    metrics_seq = []
+    for i in range(3):
+        batch = {k: jax.device_put(v, bshard)
+                 for k, v in host_batch(i).items()}
+        interp = {k: jax.device_put(v, bshard)
+                  for k, v in host_batch(100 + i).items()}
+        exc = {k: jax.device_put(v, bshard)
+               for k, v in host_batch(200 + i).items()}
+        params, opt_state, metrics = step(params, opt_state, batch, interp,
+                                          exc, spec)
+        metrics_seq.append({k: float(v) for k, v in metrics.items()})
+    return metrics_seq, params
+
+
+def test_dp8_matches_single_device(setup):
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    m1, p1 = _run(setup, jax.devices()[:1])
+    m8, p8 = _run(setup, jax.devices()[:8])
+    for step_i, (a, b) in enumerate(zip(m1, m8)):
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=2e-4, abs=1e-6), \
+                f"step {step_i} metric {k}: {a[k]} vs {b[k]}"
+    flat1 = jax.tree.leaves(p1)
+    flat8 = jax.tree.leaves(p8)
+    for x, y in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_grad_allreduce_happens(setup):
+    """With a batch whose two halves differ, each device's local gradient
+    differs — identical final params across devices proves the psum ran."""
+    model, tables, opt, params, host_batch, spec = setup
+    mesh = make_mesh(jax.devices()[:2])
+    bshard = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt.init(params), rep)
+    step = make_train_step(model, tables, opt, StepFlags(),
+                           exc_variant="ori", donate=False)
+    batch = {k: jax.device_put(v, bshard) for k, v in host_batch(0).items()}
+    interp = {k: jax.device_put(v, bshard)
+              for k, v in host_batch(1).items()}
+    exc = {k: jax.device_put(v, bshard) for k, v in host_batch(2).items()}
+    params, _, _ = step(params, opt_state, batch, interp, exc, spec)
+    w = params["conv"][0]["w"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    np.testing.assert_array_equal(shards[0], shards[1])
