@@ -45,7 +45,12 @@ def main():
     from semantichuman_tpu.train.step import StepFlags, make_train_step
 
     cache = _FULL_TOPO if os.path.exists(_FULL_TOPO) else None
-    cfg, sh, assets, hier, model, tables = _build(cache_path=cache)
+    # production numeric policy: bf16 conv trunk (the pre-gather cast halves
+    # the dominant HBM traffic; losses stay fp32 — loss trace matches the
+    # fp32 trunk to 6 decimals under --xla_allow_excess_precision)
+    dtype = os.environ.get("SH_TPU_BENCH_DTYPE", "bfloat16")
+    cfg, sh, assets, hier, model, tables = _build(
+        cache_path=cache, model_overrides={"trunk_dtype": dtype})
 
     optimizer = make_optimizer(cfg.train.lr, cfg.train.weight_decay,
                                cfg.train.lr_decay, steps_per_epoch=1)

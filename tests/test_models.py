@@ -135,3 +135,20 @@ def test_padded_heads_match_ragged_math(part_model, batch):
         feats = h[:, rows, :].reshape(4, n_p * c)
         z_ref = feats @ w[p, :n_p * c] + b[p]
         np.testing.assert_allclose(np.asarray(z[:, p]), z_ref, atol=2e-5)
+
+
+def test_bf16_trunk_close_to_fp32(cfg, small_hierarchy, small_human, batch):
+    """The bf16 conv trunk (production numeric policy) must stay close to
+    the fp32 trunk — identical architecture, same params."""
+    from semantichuman_tpu.config import Config
+    from tests.conftest import SMALL_MODEL_OVERRIDES
+    cfg16 = Config.from_dict(
+        {"model": dict(SMALL_MODEL_OVERRIDES, trunk_dtype="bfloat16")})
+    m32 = build_model(cfg, small_hierarchy, small_human.part_dict)
+    m16 = build_model(cfg16, small_hierarchy, small_human.part_dict)
+    params = m32.init(0)
+    x, kps = batch
+    r32 = np.asarray(m32(params, x, kps)[0])
+    r16 = np.asarray(m16(params, x, kps)[0])
+    scale = np.abs(r32).max()
+    assert np.abs(r16 - r32).max() / scale < 2e-2
