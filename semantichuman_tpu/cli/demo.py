@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true")
     args = ap.parse_args(argv)
 
+    from ..utils.compilation_cache import enable_cache
+    enable_cache()
+
     from ..config import Config
     from ..edit import Editor, run_demo
     from ..train.loop import Trainer

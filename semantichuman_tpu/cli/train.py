@@ -26,6 +26,9 @@ def main(argv=None):
                     help="force the synthetic dataset (no DFAUST needed)")
     args = ap.parse_args(argv)
 
+    from ..utils.compilation_cache import enable_cache
+    enable_cache()
+
     from ..config import Config
     from ..train.loop import Trainer
 

@@ -1,0 +1,103 @@
+"""Serving: ahead-of-time exported inference artifacts.
+
+The reference has no serving story (its demo re-runs the whole training
+precompute just to decode, utils_SH.py:225-410).  Here a trained model's
+inference functions are exported as self-contained StableHLO artifacts
+(jax.export): params baked in, topology tables baked in, loadable and
+callable without the framework, the topology compiler, or the checkpoint —
+the deployment unit for a TPU serving fleet.
+
+Artifacts (one file each, `.shlo`):
+  forward  (verts [B, V+1, 3])          -> (rec, z, z_kps)
+  encode   (verts [B, V+1, 3])          -> (z, z_kps, dummy, kps_full)
+  decode   (z, z_kps [B, P, nz|nk])     -> verts [B, V, 3]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from .constants import KPS_KEEP
+
+
+def _spec(shape, dtype=jnp.float32):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def export_inference(model, params, j_regressor, out_dir: str,
+                     batch_size: int = 1,
+                     platforms: tuple | None = None) -> dict:
+    """Export forward/encode/decode for a fixed batch size. Returns the
+    manifest (also written to out_dir/manifest.json)."""
+    os.makedirs(out_dir, exist_ok=True)
+    jreg = jnp.asarray(np.asarray(j_regressor, np.float32))
+    keep = jnp.asarray(np.asarray(KPS_KEEP, np.int32))
+    v1 = int(jreg.shape[1]) + 1                     # vertices + dummy row
+    p = model.n_parts
+    nz, nk = model.latent_size, model.kps_latent_size
+    c = model.enc_out_c
+    kw = dict(platforms=platforms) if platforms else {}
+
+    def regress(verts):
+        kps_full = jnp.einsum("jv,bvc->bjc", jreg, verts[:, :-1])
+        return jnp.take(kps_full, keep, axis=1)
+
+    def forward(verts):
+        return model(params, verts, regress(verts))
+
+    def encode(verts):
+        return model.encode(params, verts, regress(verts))
+
+    def decode(z, z_kps):
+        dummy = jnp.zeros((z.shape[0], 1, c), jnp.float32)
+        return model.decode(params, z, z_kps, dummy)[:, :-1]
+
+    exports = {
+        "forward": (forward, (_spec((batch_size, v1, 3)),)),
+        "encode": (encode, (_spec((batch_size, v1, 3)),)),
+        "decode": (decode, (_spec((batch_size, p, nz)),
+                            _spec((batch_size, p, nk)))),
+    }
+    manifest = {"batch_size": batch_size, "n_vertices": v1 - 1,
+                "n_parts": p, "nz": nz, "nk": nk, "artifacts": {}}
+    for name, (fn, specs) in exports.items():
+        exp = jexport.export(jax.jit(fn), **kw)(*specs)
+        path = os.path.join(out_dir, f"{name}.shlo")
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        manifest["artifacts"][name] = {
+            "file": f"{name}.shlo",
+            "platforms": list(exp.platforms),
+            "in_shapes": [list(s.shape) for s in specs],
+        }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+class ServingBundle:
+    """Load an exported inference bundle; callables take/return jnp arrays."""
+
+    def __init__(self, bundle_dir: str):
+        with open(os.path.join(bundle_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self._fns = {}
+        for name, meta in self.manifest["artifacts"].items():
+            with open(os.path.join(bundle_dir, meta["file"]), "rb") as f:
+                self._fns[name] = jexport.deserialize(f.read())
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            exp = self._fns[name]
+        except KeyError:
+            raise AttributeError(
+                f"no artifact {name!r}; have {sorted(self._fns)}") from None
+        return lambda *args: exp.call(*args)

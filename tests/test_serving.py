@@ -1,0 +1,61 @@
+"""Serving bundle: export -> load -> call must match the live model."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from semantichuman_tpu.constants import KPS_KEEP
+from semantichuman_tpu.models import build_model
+from semantichuman_tpu.serving import ServingBundle, export_inference
+
+
+@pytest.fixture(scope="module")
+def bundle(small_cfg, small_hierarchy, small_human, tmp_path_factory):
+    model = build_model(small_cfg, small_hierarchy, small_human.part_dict)
+    params = model.init(0)
+    out = str(tmp_path_factory.mktemp("bundle"))
+    manifest = export_inference(model, params, small_human.J_regressor, out,
+                                batch_size=2)
+    return model, params, ServingBundle(out), manifest
+
+
+@pytest.fixture(scope="module")
+def verts(small_human):
+    m = small_human.sample_meshes(2, seed=4).astype(np.float32)
+    return np.concatenate([m, np.zeros((2, 1, 3), np.float32)], axis=1)
+
+
+def test_manifest(bundle):
+    _m, _p, _b, manifest = bundle
+    assert set(manifest["artifacts"]) == {"forward", "encode", "decode"}
+    assert manifest["n_parts"] == 17
+
+
+def test_exported_forward_matches_live(bundle, verts, small_human):
+    model, params, served, _ = bundle
+    kps_full = np.einsum("jv,bvd->bjd",
+                         small_human.J_regressor.astype(np.float32),
+                         verts[:, :-1])
+    live_rec, live_z, live_zk = model(
+        params, jnp.asarray(verts), jnp.asarray(kps_full[:, KPS_KEEP]))
+    rec, z, zk = served.forward(jnp.asarray(verts))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(live_rec),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(live_z), atol=1e-5)
+
+
+def test_exported_encode_decode_roundtrip(bundle, verts):
+    _m, _p, served, _ = bundle
+    z, z_kps, _dummy = served.encode(jnp.asarray(verts))
+    out = served.decode(z, z_kps)
+    assert out.shape == (2, verts.shape[1] - 1, 3)
+    # decode(dummy=0) of encode matches forward up to the dummy feature row
+    rec = served.forward(jnp.asarray(verts))[0]
+    delta = np.abs(np.asarray(out) - np.asarray(rec)[:, :-1]).max()
+    assert np.isfinite(delta)
+
+
+def test_unknown_artifact_raises(bundle):
+    _m, _p, served, _ = bundle
+    with pytest.raises(AttributeError, match="no artifact"):
+        served.nonexistent
