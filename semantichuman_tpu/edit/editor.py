@@ -113,6 +113,19 @@ class Editor:
                         E.interpolate_z(a["z_kps"], b["z_kps"], t))
             for t in np.atleast_1d(ts)])
 
+    def measure(self, verts) -> np.ndarray:
+        """[B, 32] body measures (16 girths + 16 bone lengths) on device —
+        validate an edit's physical effect (utils_SH.py:144-161)."""
+        from ..constants import MEASURE_SKL_LIST
+        from ..ops.measure import measure_body, pack_girth_tables
+        if getattr(self, "_girth_tables", None) is None:
+            self._girth_tables = pack_girth_tables(self.assets.girth_edges,
+                                                   self.assets.girth_factors)
+        idx, fac, _mask = self._girth_tables
+        return np.asarray(measure_body(
+            jnp.asarray(np.asarray(verts, np.float32)), self._jreg,
+            jnp.asarray(idx), jnp.asarray(fac), MEASURE_SKL_LIST))
+
     # --- export ---------------------------------------------------------------
     def part_colors(self) -> np.ndarray:
         """[V, 3] uint8 per-vertex part color map (main.py:132-158)."""

@@ -46,18 +46,24 @@ class Trainer:
             os.makedirs(os.path.join(workdir, sub), exist_ok=True)
 
         # --- assets + data ----------------------------------------------------
+        self._synthetic = None
         if assets is None:
             if cfg.data.synthetic:
-                assets, sh = BodyAssets.synthetic(
+                assets, self._synthetic = BodyAssets.synthetic(
                     n_theta=cfg.data.synthetic_n_theta,
                     n_phi=cfg.data.synthetic_n_phi)
-                self._synthetic = sh
             else:
                 assets = BodyAssets.load(
                     cfg.data.asset_dir,
                     os.path.join(cfg.data.root_dir, "template",
                                  "template.obj"))
-                self._synthetic = None
+        elif cfg.data.synthetic and data is None:
+            # explicit assets + synthetic sampling: generate meshes on the
+            # caller's template so data and assets stay consistent
+            from ..data.synthetic import SyntheticHuman
+            self._synthetic = SyntheticHuman(
+                n_theta=cfg.data.synthetic_n_theta,
+                n_phi=cfg.data.synthetic_n_phi)
         self.assets = assets
         self._setup_data(data)
 

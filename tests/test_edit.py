@@ -143,3 +143,12 @@ def test_run_demo_exports_objs(editor, meshes, tmp_path):
         # mesh vertices + skeleton strip points; faces reference the mesh
         assert len(v) >= meshes.shape[1]
         assert f.max() < meshes.shape[1]
+
+
+def test_editor_measure(editor, meshes):
+    m = editor.measure(meshes)
+    assert m.shape == (len(meshes), 32)
+    assert np.all(m > 0) and np.all(np.isfinite(m))
+    # girths of a uniformly scaled body scale linearly
+    m2 = editor.measure(meshes * 2.0)
+    np.testing.assert_allclose(m2, 2.0 * m, rtol=1e-5)

@@ -115,3 +115,27 @@ def test_baseline_model_trains(tmp_path, small_assets, small_human):
                   data=data)
     tr2.fit(n_epochs=1)
     assert tr2.global_step == len(tr2.train_loader)
+
+
+def test_seeded_runs_reproduce(tmp_path, small_assets, small_human):
+    """Same seed -> identical training trajectory (the reference seeds
+    random/np/torch/cudnn, main.py:76-82; here one seed drives data order,
+    init, and the edit sampler)."""
+    import dataclasses
+    from semantichuman_tpu.config import Config
+    from semantichuman_tpu.train.loop import Trainer
+    from tests.conftest import SMALL_MODEL_OVERRIDES
+
+    def run(tag):
+        cfg = Config.from_dict({
+            "model": dict(SMALL_MODEL_OVERRIDES),
+            "data": {"synthetic": True, "synthetic_train": 16,
+                     "synthetic_test": 8, "synthetic_n_theta": 16,
+                     "synthetic_n_phi": 36, "normalization": "No"},
+            "train": {"n_epochs": 1, "batch_train": 4, "batch_interp": 4,
+                      "batch_test": 8, "ck_frequency": 100}})
+        t = Trainer(cfg, str(tmp_path / tag), assets=small_assets)
+        t.fit()
+        return t.validate()
+
+    assert run("a") == run("b")
