@@ -61,3 +61,13 @@ class BodyAssets:
             girth_factors=sh.girth_factors,
             edge_verts=unique_edges(sh.template_faces))
         return assets, sh
+
+
+def part_color_map(part_dict: dict, n_verts: int) -> "np.ndarray":
+    """[V, 3] uint8-ish per-vertex part color map (reference main.py:132-158);
+    vertices outside every part stay neutral grey."""
+    from ..constants import PARTCOLOR_LIST
+    colors = np.full((n_verts, 3), 192, dtype=np.int32)
+    for k, idx in enumerate(part_dict.values()):
+        colors[np.asarray(idx)] = PARTCOLOR_LIST[k % len(PARTCOLOR_LIST)]
+    return colors

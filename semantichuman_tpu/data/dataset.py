@@ -65,7 +65,15 @@ class MeshData:
             s.mean = np.mean(self.vertices_train, axis=0)
             s.std = np.std(self.vertices_train, axis=0)
         elif self.normalization == "normal":
+            # 'normal' is an eval-time mode: per-sample per-axis bbox stats
+            # of the TEST split, indexed by test-sample id (reference:
+            # shape_data.py:44-47 — its quirk, kept deliberately; using it
+            # on train indices beyond len(test) is an error there too)
             vt = self.vertices_test
+            if vt is None:
+                raise ValueError(
+                    "'normal' normalization needs a test split "
+                    "(preprocessed/test.npy) to compute per-sample stats")
             s.center = (np.max(vt, axis=1) + np.min(vt, axis=1)) / 2
             s.scale = 1.0 / (np.max(vt, axis=1) - np.min(vt, axis=1))
         return s
@@ -151,7 +159,9 @@ def normalize_batch(verts: np.ndarray, normalization: str,
     if "gass" in normalization:
         v = (v - stats.mean) / stats.std
     if "normal" in normalization:
-        v = (v - stats.center[idx][:, None, :]) * stats.scale[idx][:, None, None]
+        # per-sample, per-AXIS bbox stats: center/scale are [N, 3]
+        # (reference: shape_data.py:44-47, autoencoder_dataset.py:41-42)
+        v = (v - stats.center[idx][:, None, :]) * stats.scale[idx][:, None, :]
     v = np.nan_to_num(v, nan=0.0)
     return v
 

@@ -14,8 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import (KPS_KEEP, NEWSKL_LIST, PART_LIST, PARTCOLOR_LIST,
-                         SKL_LIST)
+from ..constants import KPS_KEEP, NEWSKL_LIST
 from ..ops.skeleton import kps2skl, skl2kps
 from ..topology.obj_io import save_obj
 from . import ops as E
@@ -128,12 +127,10 @@ class Editor:
 
     # --- export ---------------------------------------------------------------
     def part_colors(self) -> np.ndarray:
-        """[V, 3] uint8 per-vertex part color map (main.py:132-158)."""
-        v = self.assets.template_verts.shape[0]
-        colors = np.full((v, 3), 192, dtype=np.int32)
-        for k, (name, idx) in enumerate(self.assets.part_dict.items()):
-            colors[np.asarray(idx)] = PARTCOLOR_LIST[k % len(PARTCOLOR_LIST)]
-        return colors
+        """[V, 3] per-vertex part color map (main.py:132-158)."""
+        from ..data.assets import part_color_map
+        return part_color_map(self.assets.part_dict,
+                              self.assets.template_verts.shape[0])
 
     def export_obj(self, path: str, verts: np.ndarray,
                    with_part_colors: bool = False,

@@ -95,9 +95,20 @@ def compile_topology(verts: np.ndarray, faces: np.ndarray,
                      reference_vertex: int = 414,
                      cache_path: str | None = None,
                      level_meshes=None) -> MeshHierarchy:
-    """Compile a template mesh into a MeshHierarchy (cached as .npz)."""
+    """Compile a template mesh into a MeshHierarchy (cached as .npz).
+
+    The cache is keyed on EVERY compile parameter via a sidecar meta file;
+    a cache built under different step_sizes/dilation/reference_vertex is
+    recompiled rather than silently reused."""
+    meta = repr((len(verts), len(faces), tuple(ds_factors),
+                 tuple(step_sizes), tuple(dilation), int(reference_vertex)))
     if cache_path and os.path.exists(cache_path):
-        return MeshHierarchy.load(cache_path)
+        meta_path = cache_path + ".meta"
+        saved = (open(meta_path).read() if os.path.exists(meta_path)
+                 else None)
+        if saved is None or saved == meta:
+            return MeshHierarchy.load(cache_path)
+        # stale cache: parameters changed — fall through and recompile
 
     if level_meshes is None:
         levels = build_hierarchy(verts, faces, ds_factors)
@@ -109,6 +120,8 @@ def compile_topology(verts: np.ndarray, faces: np.ndarray,
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         hier.save(cache_path)
+        with open(cache_path + ".meta", "w") as f:
+            f.write(meta)
     return hier
 
 

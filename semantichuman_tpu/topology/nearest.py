@@ -126,6 +126,9 @@ def nearest_on_mesh(verts: np.ndarray, faces: np.ndarray, queries: np.ndarray,
     faces = np.ascontiguousarray(faces, dtype=np.int32)
     queries = np.ascontiguousarray(queries, dtype=np.float64)
     n = len(queries)
+    if len(faces) == 0:
+        raise ValueError("nearest_on_mesh: mesh has no faces "
+                         "(degenerate decimation level?)")
 
     lib = _load_native()
     if lib is not None:

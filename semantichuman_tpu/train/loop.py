@@ -123,7 +123,7 @@ class Trainer:
                 os.path.join(workdir, "profile"),
                 cfg.train.profile_start, cfg.train.profile_stop)
         self._step_cache: dict = {}
-        self._eval_step = None
+        self._eval_steps: dict = {}
         self.is_part_model = cfg.model.model_type == "multiz+partkps"
 
     # --- data ------------------------------------------------------------------
@@ -217,18 +217,20 @@ class Trainer:
     def dump_part_template(self):
         """Part-colored template OBJ visual spot-check at train start
         (reference main.py:132-158)."""
-        from ..constants import PARTCOLOR_LIST
+        from ..data.assets import part_color_map
         from ..topology.obj_io import save_obj
         v = self.assets.template_verts
-        colors = np.full((len(v), 3), 192, dtype=np.int32)
-        for k, idx in enumerate(self.assets.part_dict.values()):
-            colors[np.asarray(idx)] = PARTCOLOR_LIST[k % len(PARTCOLOR_LIST)]
+        colors = part_color_map(self.assets.part_dict, len(v))
         save_obj(os.path.join(self.workdir, "samples", "template_parts.obj"),
                  v, self.assets.template_faces, vert_colors=colors)
 
     def fit(self, n_epochs: int | None = None):
         cfg = self.cfg
         n_epochs = n_epochs or cfg.train.n_epochs
+        if len(self.train_loader) == 0:
+            raise ValueError(
+                f"train split has {len(self.data['train'])} samples — fewer "
+                f"than batch_train={cfg.train.batch_train} (drop_last)")
         if self.start_epoch == 1 and cfg.train.save_recons:
             self.dump_part_template()
         interp_iter = self.interp_loader.cycle()
@@ -237,10 +239,12 @@ class Trainer:
             t0 = time.time()
             tloss, tcount = 0.0, 0
             last_batch = None
-            for batch in self.train_loader:
+            batches = prefetch_to_device(iter(self.train_loader),
+                                         size=cfg.data.prefetch,
+                                         sharding=self.batch_shard)
+            for batch in batches:
                 if self.trace_window is not None:
                     self.trace_window.tick(self.global_step)
-                batch = self._put(batch)
                 if self.is_part_model:
                     interp_b = self._put(next(interp_iter))
                     exc_b = self._put(next(interp_iter))
@@ -282,13 +286,21 @@ class Trainer:
             self.trace_window.close()
         return self
 
+    def _get_eval_step(self, mm_constant: float = 1000.0):
+        """Jitted eval step, cached per mm_constant (a single cached step
+        previously ignored a different mm_constant silently)."""
+        key = float(mm_constant)
+        if key not in self._eval_steps:
+            self._eval_steps[key] = make_eval_step(self.model, self.tables,
+                                                   mm_constant)
+        return self._eval_steps[key]
+
     def validate(self) -> float:
-        if self._eval_step is None:
-            self._eval_step = make_eval_step(self.model, self.tables)
+        step = self._get_eval_step()
         total, count = 0.0, 0
         for batch in self.val_loader:
             batch = self._put(batch)
-            out = self._eval_step(self.params, batch)
+            out = step(self.params, batch)
             n_valid = batch["verts"].shape[0] - batch.get("pad", 0)
             total += float(jnp.sum(out["l1"][:n_valid]))
             count += n_valid
@@ -298,14 +310,12 @@ class Trainer:
         """Full test-set eval: returns (predictions, z, z_kps, inputs,
         mean L1, mean per-vertex mm error) — reference test_funcs.py:61-110."""
         loader = loader or self.test_loader
-        if self._eval_step is None:
-            self._eval_step = make_eval_step(self.model, self.tables,
-                                             mm_constant)
+        step = self._get_eval_step(mm_constant)
         preds, zs, zkps, txs = [], [], [], []
         l1_sum, l2_sum, count = 0.0, 0.0, 0
         for batch in loader:
             batch = self._put(batch)
-            out = self._eval_step(self.params, batch)
+            out = step(self.params, batch)
             n_valid = batch["verts"].shape[0] - batch.get("pad", 0)
             preds.append(np.asarray(out["rec"][:n_valid]))
             zs.append(np.asarray(out["z"][:n_valid]))
@@ -335,8 +345,7 @@ class Trainer:
     def _dump_sample(self, epoch: int, batch: dict):
         """GT + reconstruction OBJ spot-dumps (train_funcs.py:459-470)."""
         from ..topology.obj_io import save_obj
-        out = self._eval_step or make_eval_step(self.model, self.tables)
-        res = out(self.params, batch)
+        res = self._get_eval_step()(self.params, batch)
         sdir = os.path.join(self.workdir, "samples")
         gt = np.asarray(batch["verts"][0, :-1])
         rec = np.asarray(res["rec"][0, :-1])

@@ -118,3 +118,21 @@ def test_prefetch_to_device(meshes):
     assert len(out) == 2
     import jax
     assert isinstance(out[0]["verts"], jax.Array)
+
+
+def test_normalize_normal_mode(meshes):
+    """Per-sample per-axis bbox normalization ('normal', an eval-time mode:
+    stats indexed by sample id — reference shape_data.py:44-47)."""
+    stats = ShapeStats(
+        center=(meshes.max(axis=1) + meshes.min(axis=1)) / 2,
+        scale=1.0 / (meshes.max(axis=1) - meshes.min(axis=1)))
+    idx = np.arange(len(meshes))
+    out = normalize_batch(meshes, "normal", stats=stats, idx=idx)
+    assert out.shape == meshes.shape              # regression: was (B,B,V,3)
+    # each normalized sample sits in [-0.5, 0.5] per axis
+    assert np.all(out.max(axis=1) <= 0.5 + 1e-6)
+    assert np.all(out.min(axis=1) >= -0.5 - 1e-6)
+    # indexing is per-sample: permuting idx changes the result
+    out2 = normalize_batch(meshes, "normal", stats=stats,
+                           idx=np.roll(idx, 1))
+    assert np.abs(out - out2).max() > 1e-6
