@@ -51,6 +51,9 @@ class DataConfig:
     normalization: str = "zeroroot"  # substring-matched modes, see data.dataset
     measure: bool = True
     shuffle: bool = True
+    # prefer memory-mapped preprocessed/{train,test}.npy over the
+    # per-sample points_* layout (zero file opens per step)
+    from_stacked: bool = True
     # host pipeline prefetch depth (batches staged ahead on device)
     prefetch: int = 2
     asset_dir: str = "data/asset"

@@ -149,13 +149,34 @@ class Trainer:
             root = os.path.join(cfg.data.root_dir, "preprocessed")
             self.mesh_data = MeshData(cfg.data.root_dir, cfg.data.n_val,
                                       cfg.data.normalization)
-            self.data = {
-                split: FileSource(root, split, measure=cfg.data.measure
-                                  and split == "train")
-                for split in ("train", "val", "test")
-                if os.path.exists(os.path.join(root, f"paths_{split}.npy"))}
-            if "val" not in self.data:
-                self.data["val"] = self.data["test"]
+            if cfg.data.from_stacked:
+                # memory-mapped stacked arrays: zero per-step file opens
+                # (the per-sample FileSource layout pays one np.load per
+                # sample per batch)
+                md = self.mesh_data
+                meas = None
+                mpath = os.path.join(root, "train_measurements.npy")
+                if cfg.data.measure and os.path.exists(mpath):
+                    meas = np.load(mpath, mmap_mode="r")
+                self.data = {"train": ArraySource(
+                    md.vertices_train,
+                    None if meas is None else meas[:len(md.vertices_train)])}
+                if md.vertices_test is not None:
+                    self.data["test"] = ArraySource(md.vertices_test)
+                self.data["val"] = (ArraySource(md.vertices_val)
+                                    if len(md.vertices_val)
+                                    else self.data["test"])
+                if "test" not in self.data:
+                    self.data["test"] = self.data["val"]
+            else:
+                self.data = {
+                    split: FileSource(root, split, measure=cfg.data.measure
+                                      and split == "train")
+                    for split in ("train", "val", "test")
+                    if os.path.exists(os.path.join(root,
+                                                   f"paths_{split}.npy"))}
+                if "val" not in self.data:
+                    self.data["val"] = self.data["test"]
         stats = getattr(getattr(self, "mesh_data", None), "stats", None)
         t = cfg.train
         common = dict(normalization=cfg.data.normalization, j_regressor=jr,
