@@ -231,3 +231,25 @@ def test_compile_topology_given_level_meshes(small_human):
     for l in range(2):
         assert h.pool_idx[l][:-1].max() < h.sizes[l]
         assert h.spirals[l].shape[0] == h.sizes[l] + 1
+
+
+def test_topology_matches_golden_fixture(small_hierarchy):
+    """Regression guard for the spiral/pool/unpool tables.
+
+    The spiral ordering defines the conv weight layout (SURVEY.md §7.3):
+    ANY drift silently breaks trained-checkpoint compatibility, so the
+    compiled tables are pinned against a committed fixture.  If a change is
+    intentional, regenerate tests/golden/small_human_topology.npz and note
+    the checkpoint break in the commit message."""
+    import os
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                  "small_human_topology.npz"))
+    h = small_hierarchy
+    for l in range(5):
+        np.testing.assert_array_equal(h.spirals[l], golden[f"spirals_{l}"])
+    for l in range(4):
+        np.testing.assert_array_equal(h.pool_idx[l], golden[f"pool_{l}"])
+        np.testing.assert_array_equal(h.unpool_idx[l],
+                                      golden[f"unpool_idx_{l}"])
+        np.testing.assert_allclose(h.unpool_w[l], golden[f"unpool_w_{l}"],
+                                   atol=1e-6)
