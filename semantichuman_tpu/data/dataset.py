@@ -60,11 +60,12 @@ class MeshData:
         self.stats = self._compute_stats()
 
     def _compute_stats(self) -> ShapeStats:
+        # substring matching, like normalize_batch — modes compose
         s = ShapeStats()
-        if self.normalization == "gass":
+        if "gass" in self.normalization:
             s.mean = np.mean(self.vertices_train, axis=0)
             s.std = np.std(self.vertices_train, axis=0)
-        elif self.normalization == "normal":
+        if "normal" in self.normalization:
             # 'normal' is an eval-time mode: per-sample per-axis bbox stats
             # of the TEST split, indexed by test-sample id (reference:
             # shape_data.py:44-47 — its quirk, kept deliberately; using it
@@ -226,22 +227,31 @@ class BatchLoader:
             self.epoch += 1
 
 
+def place_batch(batch: dict, sharding=None) -> dict:
+    """Device-place a host batch: every non-object ndarray except 'idx'
+    lands on device (sharded across the mesh when given); scalars and ids
+    stay host-side.  THE single placement policy — the prefetch pipeline
+    and Trainer._put both delegate here."""
+    import jax
+
+    arrays = {k: v for k, v in batch.items()
+              if isinstance(v, np.ndarray) and v.dtype != object
+              and k != "idx"}
+    rest = {k: v for k, v in batch.items() if k not in arrays}
+    if sharding is not None:
+        arrays = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+    else:
+        arrays = {k: jax.device_put(v) for k, v in arrays.items()}
+    return {**arrays, **rest}
+
+
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Stage `size` batches ahead on device.  With a `sharding`, batches are
     laid out across the data-parallel mesh as they land."""
     import collections
-    import jax
 
     def put(batch):
-        arrays = {k: v for k, v in batch.items()
-                  if isinstance(v, np.ndarray) and v.dtype != object
-                  and k != "idx"}
-        rest = {k: v for k, v in batch.items() if k not in arrays}
-        if sharding is not None:
-            arrays = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
-        else:
-            arrays = {k: jax.device_put(v) for k, v in arrays.items()}
-        return {**arrays, **rest}
+        return place_batch(batch, sharding)
 
     queue = collections.deque()
     for batch in iterator:

@@ -97,18 +97,27 @@ def compile_topology(verts: np.ndarray, faces: np.ndarray,
                      level_meshes=None) -> MeshHierarchy:
     """Compile a template mesh into a MeshHierarchy (cached as .npz).
 
-    The cache is keyed on EVERY compile parameter via a sidecar meta file;
-    a cache built under different step_sizes/dilation/reference_vertex is
-    recompiled rather than silently reused."""
-    meta = repr((len(verts), len(faces), tuple(ds_factors),
-                 tuple(step_sizes), tuple(dilation), int(reference_vertex)))
+    The cache is keyed on every compile parameter via a sidecar meta file:
+    template geometry fingerprint, factors/steps/dilation/anchor, and the
+    level_meshes signature.  A cache whose meta mismatches — or that has no
+    sidecar at all (pre-meta workdirs) — is recompiled, never trusted."""
+    import hashlib
+
+    geom = hashlib.sha1(
+        np.ascontiguousarray(np.asarray(verts, np.float64)).tobytes()
+        + np.ascontiguousarray(np.asarray(faces, np.int64)).tobytes()
+    ).hexdigest()[:16]
+    lm_sig = (None if level_meshes is None else
+              tuple((len(v), len(f)) for v, f in level_meshes))
+    meta = repr((geom, tuple(ds_factors), tuple(step_sizes), tuple(dilation),
+                 int(reference_vertex), lm_sig))
     if cache_path and os.path.exists(cache_path):
         meta_path = cache_path + ".meta"
         saved = (open(meta_path).read() if os.path.exists(meta_path)
                  else None)
-        if saved is None or saved == meta:
+        if saved == meta:
             return MeshHierarchy.load(cache_path)
-        # stale cache: parameters changed — fall through and recompile
+        # stale or unverifiable cache — fall through and recompile
 
     if level_meshes is None:
         levels = build_hierarchy(verts, faces, ds_factors)

@@ -147,7 +147,14 @@ class Trainer:
             self.mesh_data = None
         else:
             root = os.path.join(cfg.data.root_dir, "preprocessed")
-            self.mesh_data = MeshData(cfg.data.root_dir, cfg.data.n_val,
+            n_val = cfg.data.n_val
+            val_paths = os.path.join(root, "paths_val.npy")
+            if (cfg.data.from_stacked and n_val == 0
+                    and os.path.exists(val_paths)):
+                # honor the val split data_generation carved: the stacked
+                # path must not silently train on the val samples
+                n_val = len(np.load(val_paths))
+            self.mesh_data = MeshData(cfg.data.root_dir, n_val,
                                       cfg.data.normalization)
             if cfg.data.from_stacked:
                 # memory-mapped stacked arrays: zero per-step file opens
@@ -156,18 +163,25 @@ class Trainer:
                 md = self.mesh_data
                 meas = None
                 mpath = os.path.join(root, "train_measurements.npy")
-                if cfg.data.measure and os.path.exists(mpath):
+                if cfg.data.measure:
+                    if not os.path.exists(mpath):
+                        raise FileNotFoundError(
+                            f"data.measure=True but {mpath} is missing "
+                            "(run cli.obj2npy, or set data.measure: false)")
                     meas = np.load(mpath, mmap_mode="r")
                 self.data = {"train": ArraySource(
                     md.vertices_train,
                     None if meas is None else meas[:len(md.vertices_train)])}
                 if md.vertices_test is not None:
                     self.data["test"] = ArraySource(md.vertices_test)
-                self.data["val"] = (ArraySource(md.vertices_val)
-                                    if len(md.vertices_val)
-                                    else self.data["test"])
-                if "test" not in self.data:
-                    self.data["test"] = self.data["val"]
+                if len(md.vertices_val):
+                    self.data["val"] = ArraySource(md.vertices_val)
+                if "val" not in self.data and "test" not in self.data:
+                    raise ValueError(
+                        "no val or test split: provide preprocessed/"
+                        "test.npy or set data.n_val > 0")
+                self.data.setdefault("val", self.data.get("test"))
+                self.data.setdefault("test", self.data["val"])
             else:
                 self.data = {
                     split: FileSource(root, split, measure=cfg.data.measure
@@ -227,12 +241,9 @@ class Trainer:
         return self._step_cache[key]
 
     def _put(self, batch: dict) -> dict:
-        arrays = {k: v for k, v in batch.items()
-                  if isinstance(v, np.ndarray) and v.dtype.kind == "f"}
-        if self.batch_shard is not None:
-            arrays = {k: jax.device_put(v, self.batch_shard)
-                      for k, v in arrays.items()}
-        return {**batch, **arrays}
+        # same placement policy as the prefetch pipeline (one code path)
+        from ..data.dataset import place_batch
+        return place_batch(batch, self.batch_shard)
 
     # --- main loop ---------------------------------------------------------------
     def dump_part_template(self):
@@ -252,6 +263,11 @@ class Trainer:
             raise ValueError(
                 f"train split has {len(self.data['train'])} samples — fewer "
                 f"than batch_train={cfg.train.batch_train} (drop_last)")
+        if self.is_part_model and len(self.interp_loader) == 0:
+            # cycle() over an empty loader would spin forever
+            raise ValueError(
+                f"train split has {len(self.data['train'])} samples — fewer "
+                f"than batch_interp={cfg.train.batch_interp} (drop_last)")
         if self.start_epoch == 1 and cfg.train.save_recons:
             self.dump_part_template()
         interp_iter = self.interp_loader.cycle()
