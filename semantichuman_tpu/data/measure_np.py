@@ -28,3 +28,42 @@ def bone_lengths_np(kps: np.ndarray, skl_list) -> np.ndarray:
         b = kps[bone[1]] if len(bone) == 2 else 0.5 * (kps[bone[1]] + kps[bone[2]])
         out[k] = np.linalg.norm(a - b)
     return out
+
+
+def plane_girth(plane_point: np.ndarray, plane_normal: np.ndarray,
+                edge_points: np.ndarray):
+    """Girth as the perimeter of a plane/edge-intersection ring
+    (reference: utils_SH.py:100-142 `cal_girth`, the offline variant that
+    defines the girth polylines later baked into factor/edge tables).
+
+    edge_points [N, 2, 3]: endpoint pairs of mesh edges crossing the plane.
+    Each edge's LINE meets the plane at p0 + t (p1 - p0) with
+    t = (d - n·p0) / (n·(p1-p0)); the points are sorted angularly around
+    their centroid in the plane (atan2 in an in-plane basis — the robust
+    equivalent of the reference's cross-product sign heuristic, identical
+    ordering on the convex body rings it measures) and the closed-polyline
+    length is returned.
+
+    Returns (girth, points [N, 3], order [N])."""
+    n = np.asarray(plane_normal, np.float64)
+    n = n / np.linalg.norm(n)
+    p0 = np.asarray(edge_points, np.float64)[:, 0]
+    d = np.asarray(edge_points, np.float64)[:, 1] - p0
+    denom = d @ n
+    denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+    t = ((np.asarray(plane_point, np.float64) - p0) @ n) / denom
+    pts = p0 + t[:, None] * d
+
+    center = pts.mean(axis=0)
+    rel = pts - center
+    # in-plane orthonormal basis
+    a = np.cross(n, [1.0, 0.0, 0.0])
+    if np.linalg.norm(a) < 1e-8:
+        a = np.cross(n, [0.0, 1.0, 0.0])
+    a = a / np.linalg.norm(a)
+    b = np.cross(n, a)
+    order = np.argsort(np.arctan2(rel @ b, rel @ a))
+    ring = pts[order]
+    seg = np.linalg.norm(np.diff(ring, axis=0), axis=1).sum()
+    seg += np.linalg.norm(ring[0] - ring[-1])
+    return seg, pts, order

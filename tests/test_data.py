@@ -136,3 +136,23 @@ def test_normalize_normal_mode(meshes):
     out2 = normalize_batch(meshes, "normal", stats=stats,
                            idx=np.roll(idx, 1))
     assert np.abs(out - out2).max() > 1e-6
+
+
+def test_plane_girth_circle():
+    """Plane/edge-intersection girth of a circular ring ~= 2*pi*r
+    (reference utils_SH.py:100-142 capability)."""
+    from semantichuman_tpu.data.measure_np import plane_girth
+    r, n_edges = 0.7, 48
+    ang = np.linspace(0, 2 * np.pi, n_edges, endpoint=False)
+    rng = np.random.default_rng(0)
+    # vertical edges straddling the z=0.3 plane, shuffled order
+    lo = np.stack([r * np.cos(ang), r * np.sin(ang),
+                   0.3 - rng.uniform(0.05, 0.2, n_edges)], axis=1)
+    hi = np.stack([r * np.cos(ang), r * np.sin(ang),
+                   0.3 + rng.uniform(0.05, 0.2, n_edges)], axis=1)
+    edges = np.stack([lo, hi], axis=1)
+    edges = edges[rng.permutation(n_edges)]
+    girth, pts, order = plane_girth([0, 0, 0.3], [0, 0, 1.0], edges)
+    assert girth == pytest.approx(2 * np.pi * r, rel=5e-3)
+    np.testing.assert_allclose(pts[:, 2], 0.3, atol=1e-9)
+    assert sorted(order.tolist()) == list(range(n_edges))
