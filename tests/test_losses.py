@@ -224,3 +224,16 @@ def test_average_value_meter():
         m.add(x)
     assert m.mean == pytest.approx(2.5)
     assert m.std == pytest.approx(np.std([1, 2, 3, 4], ddof=1))
+
+
+def test_step_timer():
+    import time as _t
+    from semantichuman_tpu.utils.profiling import StepTimer
+    t = StepTimer(skip_first=1)
+    for _ in range(4):
+        with t:
+            _t.sleep(0.01)
+    s = t.summary()
+    assert s["steps"] == 3                 # first (compile) step dropped
+    assert 0.005 < s["mean_s"] < 0.1
+    assert s["p50_s"] <= s["max_s"]
