@@ -175,3 +175,45 @@ def geodesics_in_heat(verts: jnp.ndarray, faces: jnp.ndarray,
     phi = phi - jnp.sum(phi * source_onehot) / jnp.maximum(
         jnp.sum(source_onehot), 1.0)
     return jnp.abs(phi)
+
+
+# --- spectral tools --------------------------------------------------------------
+
+def laplacian_dense(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Dense [V, V] cotan Laplacian (for spectral analysis on small/coarse
+    meshes; the per-step training path never materializes this)."""
+    n = verts.shape[0]
+    eye = jnp.eye(n, dtype=verts.dtype)
+    return jax.vmap(lambda e: laplacian_apply(verts, faces, e),
+                    in_axes=1, out_axes=1)(eye)
+
+
+def spectral_basis(verts: jnp.ndarray, faces: jnp.ndarray, k: int):
+    """First k eigenpairs of the mass-normalized Laplace-Beltrami operator
+    (ascending eigenvalues; evecs are M-orthonormal).  Replaces the
+    reference's dead sparse-backward Eigendecomposition
+    (utils_distance.py:285-363, hardcoded .mat path) with a live,
+    differentiable-by-XLA dense eigh on the coarse mesh."""
+    mass = lumped_mass(verts, faces)
+    inv_sqrt_m = 1.0 / jnp.sqrt(jnp.maximum(mass, 1e-30))
+    L = laplacian_dense(verts, faces)
+    # symmetric form: -M^{-1/2} L M^{-1/2} (PSD)
+    A = -(inv_sqrt_m[:, None] * L * inv_sqrt_m[None, :])
+    A = 0.5 * (A + A.T)
+    w, u = jnp.linalg.eigh(A)
+    evecs = inv_sqrt_m[:, None] * u[:, :k]
+    return w[:k], evecs
+
+
+def biharmonic_distance(verts: jnp.ndarray, faces: jnp.ndarray,
+                        k: int = 64, eps: float = 1e-8) -> jnp.ndarray:
+    """[V, V] biharmonic distance matrix (Lipman et al.):
+    d(i, j)^2 = sum_k (phi_k(i) - phi_k(j))^2 / lambda_k^2 over nonzero
+    eigenpairs (reference capability: utils_distance.py:138-155
+    distance_BH, dead in its main path)."""
+    w, phi = spectral_basis(verts, faces, k)
+    w, phi = w[1:], phi[:, 1:]                      # drop the constant mode
+    g = phi / jnp.maximum(w[None, :], eps)          # [V, k-1]
+    sq = jnp.sum(g * g, axis=1)
+    d2 = sq[:, None] - 2.0 * (g @ g.T) + sq[None, :]
+    return jnp.sqrt(jnp.maximum(d2, 0.0))

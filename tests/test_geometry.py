@@ -98,3 +98,32 @@ def test_geodesics_bounded_on_elongated_mesh():
     # geodesics on a closed surface are bounded by a small multiple of the
     # bbox diagonal (body circumference), nothing like the 1e9 blow-up
     assert d.max() < 4 * bbox_diag
+
+
+def test_spectral_basis_properties(sphere):
+    v, f = sphere
+    w, phi = G.spectral_basis(v, f, k=10)
+    w = np.asarray(w); phi = np.asarray(phi)
+    # eigenvalues ascending, first ~0 (constant mode)
+    assert abs(w[0]) < 1e-4
+    assert np.all(np.diff(w) > -1e-5)
+    # sphere spectrum: eigenvalue l(l+1) with multiplicity 2l+1 -> next 3 ~ 2
+    np.testing.assert_allclose(w[1:4], 2.0, rtol=0.05)
+    # M-orthonormality
+    m = np.asarray(G.lumped_mass(v, f))
+    gram = phi.T @ (m[:, None] * phi)
+    np.testing.assert_allclose(gram, np.eye(10), atol=5e-3)
+
+
+def test_biharmonic_distance_is_metric_like(sphere):
+    v, f = sphere
+    d = np.asarray(G.biharmonic_distance(v, f, k=32))
+    assert d.shape == (642, 642)
+    np.testing.assert_allclose(np.diag(d), 0.0, atol=1e-3)  # fp32 x^2-2xy+y^2
+    np.testing.assert_allclose(d, d.T, atol=1e-5)
+    assert np.all(d >= 0)
+    # monotone-ish with geodesic separation: antipode farther than neighbor
+    cosang = np.clip(np.asarray(v) @ np.asarray(v[0]), -1, 1)
+    near = int(np.argsort(-cosang)[1])     # nearest neighbor of vertex 0
+    far = int(np.argmin(cosang))           # antipode
+    assert d[0, far] > 3 * d[0, near]
