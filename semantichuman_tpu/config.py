@@ -104,6 +104,7 @@ class TrainConfig:
     factor: list = field(default_factory=lambda: [0.4, 0.8])
     # checkpointing
     ck_frequency: int = 100
+    ck_keep: Optional[int] = None     # keep only the newest N checkpoints
     ck_name: str = "checkpoint"
     resume: Optional[str] = None      # checkpoint dir to resume from
     finetune: bool = False            # load weights only, restart schedule

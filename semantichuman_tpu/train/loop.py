@@ -225,7 +225,8 @@ class Trainer:
     def save(self, epoch: int):
         save_checkpoint(self._ckpt_dir(), epoch, {
             "params": self.params, "opt_state": self.opt_state,
-            "epoch": epoch, "step": self.global_step})
+            "epoch": epoch, "step": self.global_step},
+            max_to_keep=self.cfg.train.ck_keep)
 
     # --- steps ------------------------------------------------------------------
     def _get_step(self, epoch: int, variant: str):

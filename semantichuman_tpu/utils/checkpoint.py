@@ -20,11 +20,19 @@ def _abspath(path: str) -> str:
     return os.path.abspath(path)
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state: dict) -> str:
-    """Save a state pytree under ckpt_dir/<step>."""
-    path = os.path.join(_abspath(ckpt_dir), str(step))
+def save_checkpoint(ckpt_dir: str, step: int, state: dict,
+                    max_to_keep: int | None = None) -> str:
+    """Save a state pytree under ckpt_dir/<step>; optionally prune all but
+    the newest `max_to_keep` checkpoints."""
+    base = _abspath(ckpt_dir)
+    path = os.path.join(base, str(step))
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
+    if max_to_keep is not None and max_to_keep > 0:
+        import shutil
+        steps = sorted(int(d) for d in os.listdir(base) if d.isdigit())
+        for old in steps[:-max_to_keep]:
+            shutil.rmtree(os.path.join(base, str(old)), ignore_errors=True)
     return path
 
 

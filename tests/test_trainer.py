@@ -139,3 +139,15 @@ def test_seeded_runs_reproduce(tmp_path, small_assets, small_human):
         return t.validate()
 
     assert run("a") == run("b")
+
+
+def test_checkpoint_retention(tmp_path):
+    from semantichuman_tpu.utils.checkpoint import (latest_step,
+                                                    save_checkpoint)
+    state = {"x": np.ones(3)}
+    for step in (1, 2, 3, 4):
+        save_checkpoint(str(tmp_path), step, state, max_to_keep=2)
+    import os
+    kept = sorted(int(d) for d in os.listdir(tmp_path) if d.isdigit())
+    assert kept == [3, 4]
+    assert latest_step(str(tmp_path)) == 4
