@@ -112,3 +112,24 @@ def test_edit_sampler_modes():
     seq = [s4.sample_exc_variant() for _ in range(8)]
     s5 = EditSampler(exc_mode="ori_or_m", seed=1)
     assert seq == [s5.sample_exc_variant() for _ in range(8)]
+
+
+def test_edit_mode_exc_sampler():
+    """edit_mode='exc': per-sample girth targets from the flipped batch's
+    measures (reference train_funcs.py:186-199)."""
+    from semantichuman_tpu.train.edits import EditSampler
+    from semantichuman_tpu.constants import NOLEAF_PART_INDICES
+    rng = np.random.default_rng(0)
+    measure = rng.uniform(0.5, 2.0, (4, 32)).astype(np.float32)
+    s = EditSampler(edit_mode="exc", seed=0)
+    spec = s.sample_interp(epoch=5, batch_size=4, measure=measure)
+    a = spec["a_full"]
+    assert a.shape == (4, 17)
+    flipped = np.flip(measure, axis=0) / measure
+    for k, p in enumerate(NOLEAF_PART_INDICES):
+        np.testing.assert_allclose(a[:, p], flipped[:, k], rtol=1e-6)
+    # leaf parts untouched
+    leaf = [i for i in range(17) if i not in NOLEAF_PART_INDICES]
+    np.testing.assert_allclose(a[:, leaf], 1.0)
+    with pytest.raises(ValueError, match="needs the batch measures"):
+        s.sample_interp(epoch=5, batch_size=4)
