@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
 
 from ..ops.sampling import pool, unpool
 from ..ops.spiral_conv import spiral_conv

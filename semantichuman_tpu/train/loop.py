@@ -21,14 +21,14 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..constants import SKL_LIST
+
 from ..data.assets import BodyAssets
 from ..data.dataset import (ArraySource, BatchLoader, FileSource, MeshData,
                             prefetch_to_device)
 from ..models import build_model
 from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from ..topology import compile_topology
-from ..utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from ..utils.checkpoint import restore_checkpoint, save_checkpoint
 from ..utils.logging import MetricsLogger
 from . import losses as L
 from .edits import EditSampler

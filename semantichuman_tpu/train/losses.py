@@ -26,7 +26,7 @@ size — no padding waste inside the distance matrices.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Sequence
+
 
 import numpy as np
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ its CPU round-trip around every save, train_funcs.py:442,457).
 
 State layout: {"params", "opt_state", "epoch", "step"} pytree.  Also ships
 an importer for reference-format torch .pth.tar checkpoints so users can
-carry weights across (utils/torch_import.py does the name mapping).
+carry weights across (utils/import_torch.py does the name mapping).
 """
 
 from __future__ import annotations
