@@ -19,6 +19,15 @@ def enable_cache(cache_dir: str | None = None) -> str | None:
         return None
     import jax
 
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return None
+    if backend == "cpu":
+        # XLA:CPU AOT artifacts bake in host CPU features; reloading them on
+        # a different machine risks SIGILL (and CPU compiles are fast
+        # anyway) — the persistent cache is for the slow TPU tunnel only
+        return None
     cache_dir = cache_dir or os.environ.get("SH_TPU_COMPILE_CACHE",
                                             _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
