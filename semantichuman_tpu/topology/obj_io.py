@@ -61,3 +61,10 @@ def save_obj(path: str, verts, faces, vert_colors=None,
         lines.append(f"f {f3[0]} {f3[1]} {f3[2]}")
     with open(path, "w") as fp:
         fp.write("\n".join(lines) + "\n")
+
+
+def save_skl(path: str, kps, skl_list, samples_per_bone: int = 1000):
+    """Write a skeleton-only OBJ: keypoints + dense bone point strips
+    (reference: utils_SH.py:197-223 save_skl)."""
+    save_obj(path, np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64),
+             skl_list=skl_list, kps=kps, samples_per_bone=samples_per_bone)

@@ -74,3 +74,15 @@ def test_full_cli_pipeline(pipeline_dir):
     edits = os.listdir(os.path.join(workdir, "edits"))
     assert {"sample0_rec.obj", "sample0_girth.obj", "sample0_style.obj",
             "sample0_ori.obj", "sample0_bonelen.obj"} <= set(edits)
+
+    from semantichuman_tpu.cli import export
+    export.main(["--config", cfg_path, "--workdir", workdir,
+                 "--batch_size", "2"])
+    bundle = os.path.join(workdir, "bundle")
+    assert os.path.exists(os.path.join(bundle, "manifest.json"))
+    from semantichuman_tpu.serving import ServingBundle
+    import jax.numpy as jnp
+    served = ServingBundle(bundle)
+    v1 = served.manifest["n_vertices"] + 1
+    rec, z, zk = served.forward(jnp.zeros((2, v1, 3), jnp.float32))
+    assert rec.shape == (2, v1, 3)
