@@ -253,3 +253,17 @@ def test_topology_matches_golden_fixture(small_hierarchy):
                                       golden[f"unpool_idx_{l}"])
         np.testing.assert_allclose(h.unpool_w[l], golden[f"unpool_w_{l}"],
                                    atol=1e-6)
+
+
+def test_spiral_invariants(small_hierarchy):
+    """Structural invariants of the spiral tables: every real vertex's
+    spiral starts at itself (reference convention, utils_spiral.py:140-255),
+    all indices are valid or the dummy, and the dummy row is all-dummy."""
+    h = small_hierarchy
+    for l in range(h.n_levels):
+        s = np.asarray(h.spirals[l])
+        v = h.sizes[l]
+        assert s.shape[0] == v + 1
+        np.testing.assert_array_equal(s[:-1, 0], np.arange(v))
+        assert s.min() >= 0 and s.max() <= v
+        np.testing.assert_array_equal(s[-1], v)   # dummy row -> dummy
