@@ -133,3 +133,20 @@ def test_edit_mode_exc_sampler():
     np.testing.assert_allclose(a[:, leaf], 1.0)
     with pytest.raises(ValueError, match="needs the batch measures"):
         s.sample_interp(epoch=5, batch_size=4)
+
+
+def test_editskl_branch(setup):
+    """interp branch with skeleton-length editing enabled
+    (editskl_flag, reference train_funcs.py:163-168)."""
+    model, params, tables, batch, interp, exc = setup
+    opt = make_optimizer(1e-3, 5e-5, 0.99, steps_per_epoch=10)
+    step = make_train_step(model, tables, opt, StepFlags(editskl=True),
+                           exc_variant="ori", donate=False)
+    sampler = EditSampler(edit_mode="rand", editskl_flag=True, seed=1)
+    spec = sampler.sample_interp(epoch=200, batch_size=4)
+    assert (spec["skl_len_factor"] != 1.0).any()
+    spec = {k: jnp.asarray(v) for k, v in spec.items()}
+    _p, _o, metrics = step(params, opt.init(params), batch, interp, exc,
+                           spec)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "interp_kps" in metrics
