@@ -127,3 +127,13 @@ def test_biharmonic_distance_is_metric_like(sphere):
     near = int(np.argsort(-cosang)[1])     # nearest neighbor of vertex 0
     far = int(np.argmin(cosang))           # antipode
     assert d[0, far] > 3 * d[0, near]
+
+
+def test_vertex_normals_radial_on_sphere(sphere):
+    from semantichuman_tpu.ops.distance import vertex_normals
+    v, f = sphere
+    n = np.asarray(vertex_normals(v[None], f))[0]   # batched op [B, V, 3]
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+    # unit sphere: vertex normal ~ vertex direction
+    cos = np.sum(n * np.asarray(v), axis=1)
+    assert cos.min() > 0.99
