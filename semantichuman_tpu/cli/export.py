@@ -4,13 +4,14 @@
       --workdir results/run1 --out results/run1/bundle --batch_size 64
 
 Produces forward/encode/decode StableHLO artifacts + manifest.json
-(see semantichuman_tpu.serving).
+(see semantichuman_tpu.serving).  Needs only the assets, the topology
+cache, and a checkpoint — NOT the training dataset, so it runs on a
+serving host that never saw the data.
 """
 
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 
 
@@ -30,22 +31,39 @@ def main(argv=None):
     enable_cache()
 
     from ..config import Config
+    from ..data.assets import BodyAssets
+    from ..models import build_model
     from ..serving import export_inference
-    from ..train.loop import Trainer
+    from ..topology import compile_topology
+    from ..utils.checkpoint import restore_checkpoint
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
-    resume = args.resume or os.path.join(args.workdir, "checkpoints")
-    cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, resume=resume,
-                                       finetune=True))
-    if args.synthetic:
-        cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(cfg.data, synthetic=True))
+    if args.synthetic or cfg.data.synthetic:
+        assets, _sh = BodyAssets.synthetic(
+            n_theta=cfg.data.synthetic_n_theta,
+            n_phi=cfg.data.synthetic_n_phi)
+    else:
+        assets = BodyAssets.load(
+            cfg.data.asset_dir,
+            os.path.join(cfg.data.root_dir, "template", "template.obj"))
 
-    trainer = Trainer(cfg, args.workdir)
+    m = cfg.model
+    tag = "".join(str(f) for f in m.ds_factors)
+    hier = compile_topology(
+        assets.template_verts, assets.template_faces,
+        ds_factors=m.ds_factors, step_sizes=m.step_sizes,
+        dilation=m.dilation,
+        reference_vertex=min(414, len(assets.template_verts) - 1),
+        cache_path=os.path.join(args.workdir, f"topology_{tag}.npz"))
+    model = build_model(cfg, hier, assets.part_dict)
+
+    resume = args.resume or os.path.join(args.workdir, "checkpoints")
+    state, step = restore_checkpoint(resume)   # raw numpy pytree
+    print(f"restored checkpoint at epoch {state.get('epoch', step)}")
+
     out = args.out or os.path.join(args.workdir, "bundle")
-    manifest = export_inference(trainer.model, trainer.params,
-                                trainer.assets.j_regressor, out,
+    manifest = export_inference(model, state["params"],
+                                assets.j_regressor, out,
                                 batch_size=args.batch_size)
     for name, meta in manifest["artifacts"].items():
         print(f"{name}: {meta['file']} (platforms {meta['platforms']})")

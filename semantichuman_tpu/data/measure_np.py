@@ -6,6 +6,12 @@ from __future__ import annotations
 import numpy as np
 
 
+def _ring_perimeter(pts: np.ndarray) -> float:
+    """Perimeter of the closed polyline through pts (in order)."""
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1).sum()
+    return float(seg + np.linalg.norm(pts[0] - pts[-1]))
+
+
 def girths_np(verts: np.ndarray, factor_list, edge_point_index_list) -> np.ndarray:
     """Per measured part: girth = perimeter of the closed polyline through
     edge-interpolated points  p_k = v[e_k0]*(1-f_k) + v[e_k1]*f_k."""
@@ -14,9 +20,7 @@ def girths_np(verts: np.ndarray, factor_list, edge_point_index_list) -> np.ndarr
         e = np.asarray(edge_point_index_list[i], dtype=np.int64)
         f = np.asarray(factor_list[i], dtype=np.float64).reshape(len(e), -1)
         pts = verts[e[:, 0]] * (1.0 - f) + verts[e[:, 1]] * f
-        seg = np.linalg.norm(np.diff(pts, axis=0), axis=1).sum()
-        seg += np.linalg.norm(pts[0] - pts[-1])
-        out[i] = seg
+        out[i] = _ring_perimeter(pts)
     return out
 
 
@@ -50,7 +54,14 @@ def plane_girth(plane_point: np.ndarray, plane_normal: np.ndarray,
     p0 = np.asarray(edge_points, np.float64)[:, 0]
     d = np.asarray(edge_points, np.float64)[:, 1] - p0
     denom = d @ n
-    denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+    # edges (near-)parallel to the plane have no usable intersection —
+    # drop them instead of clamping the denominator (a clamp sends the
+    # 'intersection' astronomically far and destroys the angular sort)
+    ok = np.abs(denom) > 1e-12 * np.maximum(
+        np.linalg.norm(d, axis=1), 1e-300)
+    if not np.any(ok):
+        raise ValueError("plane_girth: no edge crosses the plane")
+    p0, d, denom = p0[ok], d[ok], denom[ok]
     t = ((np.asarray(plane_point, np.float64) - p0) @ n) / denom
     pts = p0 + t[:, None] * d
 
@@ -63,7 +74,4 @@ def plane_girth(plane_point: np.ndarray, plane_normal: np.ndarray,
     a = a / np.linalg.norm(a)
     b = np.cross(n, a)
     order = np.argsort(np.arctan2(rel @ b, rel @ a))
-    ring = pts[order]
-    seg = np.linalg.norm(np.diff(ring, axis=0), axis=1).sum()
-    seg += np.linalg.norm(ring[0] - ring[-1])
-    return seg, pts, order
+    return _ring_perimeter(pts[order]), pts, order

@@ -64,7 +64,9 @@ def save_obj(path: str, verts, faces, vert_colors=None,
 
 
 def save_skl(path: str, kps, skl_list, samples_per_bone: int = 1000):
-    """Write a skeleton-only OBJ: keypoints + dense bone point strips
-    (reference: utils_SH.py:197-223 save_skl)."""
-    save_obj(path, np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int64),
+    """Write a skeleton-only OBJ: the raw keypoints (black vertices) PLUS
+    dense bone point strips (reference: utils_SH.py:197-223 save_skl)."""
+    kps = np.asarray(kps, dtype=np.float64)
+    save_obj(path, kps, np.zeros((0, 3), dtype=np.int64),
+             vert_colors=np.zeros((len(kps), 3), dtype=np.int32),
              skl_list=skl_list, kps=kps, samples_per_bone=samples_per_bone)

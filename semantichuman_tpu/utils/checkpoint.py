@@ -30,9 +30,14 @@ def save_checkpoint(ckpt_dir: str, step: int, state: dict,
         ckptr.save(path, state, force=True)
     if max_to_keep is not None and max_to_keep > 0:
         import shutil
-        steps = sorted(int(d) for d in os.listdir(base) if d.isdigit())
-        for old in steps[:-max_to_keep]:
-            shutil.rmtree(os.path.join(base, str(old)), ignore_errors=True)
+        # prune by SAVE RECENCY (mtime), not step number: a finetune resume
+        # restarts epoch numbering, and pruning by step would delete the
+        # checkpoint just written in favor of stale high-numbered ones
+        entries = [(os.path.getmtime(os.path.join(base, d)), d)
+                   for d in os.listdir(base) if d.isdigit()]
+        for _, old in sorted(entries)[:-max_to_keep]:
+            if old != str(step):
+                shutil.rmtree(os.path.join(base, old), ignore_errors=True)
     return path
 
 
