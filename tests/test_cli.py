@@ -86,3 +86,29 @@ def test_full_cli_pipeline(pipeline_dir):
     v1 = served.manifest["n_vertices"] + 1
     rec, z, zk = served.forward(jnp.zeros((2, v1, 3), jnp.float32))
     assert rec.shape == (2, v1, 3)
+
+
+def test_export_needs_no_dataset(pipeline_dir):
+    """Serving export must work on a host with only assets, template, and a
+    checkpoint — no preprocessed/ dataset (runs after the pipeline test)."""
+    import shutil
+    src_root = os.path.join(pipeline_dir, "ds")
+    src_work = os.path.join(pipeline_dir, "run")
+    host = os.path.join(pipeline_dir, "serving_host")
+    os.makedirs(os.path.join(host, "ds", "template"), exist_ok=True)
+    shutil.copytree(os.path.join(src_root, "asset"),
+                    os.path.join(host, "ds", "asset"))
+    shutil.copy(os.path.join(src_root, "template", "template.obj"),
+                os.path.join(host, "ds", "template", "template.obj"))
+    work = os.path.join(host, "work")
+    os.makedirs(work)
+    shutil.copytree(os.path.join(src_work, "checkpoints"),
+                    os.path.join(work, "checkpoints"))
+
+    cfg_path = os.path.join(host, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG.format(root=os.path.join(host, "ds")))
+    from semantichuman_tpu.cli import export
+    export.main(["--config", cfg_path, "--workdir", work,
+                 "--batch_size", "2"])
+    assert os.path.exists(os.path.join(work, "bundle", "manifest.json"))
