@@ -54,6 +54,10 @@ class DataConfig:
     # prefer memory-mapped preprocessed/{train,test}.npy over the
     # per-sample points_* layout (zero file opens per step)
     from_stacked: bool = True
+    # path to the reference's downsampling_matrices{dddd}.pkl: imports the
+    # EXACT reference hierarchy (QSLIM tie-breaking is machine-dependent),
+    # required for carrying reference DFAUST checkpoints
+    reference_hierarchy: Optional[str] = None
     # host pipeline prefetch depth (batches staged ahead on device)
     prefetch: int = 2
     asset_dir: str = "data/asset"

@@ -71,12 +71,20 @@ class Trainer:
         m = cfg.model
         tag = "".join(str(f) for f in m.ds_factors)
         cache = os.path.join(workdir, f"topology_{tag}.npz")
-        self.hierarchy = compile_topology(
-            assets.template_verts, assets.template_faces,
-            ds_factors=m.ds_factors, step_sizes=m.step_sizes,
-            dilation=m.dilation,
-            reference_vertex=min(414, len(assets.template_verts) - 1),
-            cache_path=cache)
+        ref_vertex = min(414, len(assets.template_verts) - 1)
+        if cfg.data.reference_hierarchy:
+            from ..topology.reference_import import (
+                hierarchy_from_reference_pickle)
+            self.hierarchy = hierarchy_from_reference_pickle(
+                cfg.data.reference_hierarchy, step_sizes=m.step_sizes,
+                dilation=m.dilation, reference_vertex=ref_vertex,
+                cache_path=os.path.join(workdir, f"topology_ref_{tag}.npz"))
+        else:
+            self.hierarchy = compile_topology(
+                assets.template_verts, assets.template_faces,
+                ds_factors=m.ds_factors, step_sizes=m.step_sizes,
+                dilation=m.dilation, reference_vertex=ref_vertex,
+                cache_path=cache)
 
         # --- model / losses / optimizer --------------------------------------
         self.model = build_model(cfg, self.hierarchy, assets.part_dict)

@@ -267,3 +267,48 @@ def test_spiral_invariants(small_hierarchy):
         np.testing.assert_array_equal(s[:-1, 0], np.arange(v))
         assert s.min() >= 0 and s.max() <= v
         np.testing.assert_array_equal(s[-1], v)   # dummy row -> dummy
+
+
+def test_reference_pickle_import(small_human, small_hierarchy, tmp_path):
+    """Round trip through the reference's downsampling_matrices pickle
+    format (main.py:93-116): scipy-sparse D/U + level meshes in, identical
+    hierarchy out — the DFAUST checkpoint-compatibility path."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    import pickle
+    from semantichuman_tpu.topology.reference_import import (
+        hierarchy_from_reference_pickle)
+
+    h = small_hierarchy
+    mvf = [(h.verts[l], h.faces[l]) for l in range(h.n_levels)]
+    D, U = [], []
+    for l in range(h.n_levels - 1):
+        vc, vf = h.sizes[l + 1], h.sizes[l]
+        d = scipy_sparse.csc_matrix(
+            (np.ones(vc), (np.arange(vc), h.pool_idx[l][:-1])),
+            shape=(vc, vf))
+        rows = np.repeat(np.arange(vf), 3)
+        cols = h.unpool_idx[l][:-1].reshape(-1)
+        vals = h.unpool_w[l][:-1].reshape(-1)
+        keep = vals != 0           # sparse format drops explicit zeros
+        u = scipy_sparse.csc_matrix(
+            (vals[keep], (rows[keep], cols[keep])), shape=(vf, vc))
+        D.append(d)
+        U.append(u)
+    pkl = tmp_path / "downsampling_matrices2222.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"M_verts_faces": mvf, "A": [], "D": D, "U": U,
+                     "F": [h.faces[l] for l in range(1, h.n_levels)]}, f)
+
+    got = hierarchy_from_reference_pickle(
+        str(pkl), step_sizes=(2, 2, 1, 1, 1), dilation=(2, 2, 1, 1, 1),
+        reference_vertex=0)
+    for l in range(h.n_levels):
+        np.testing.assert_array_equal(got.spirals[l], h.spirals[l])
+    for l in range(h.n_levels - 1):
+        np.testing.assert_array_equal(got.pool_idx[l], h.pool_idx[l])
+        # unpool operator action must match (entry ORDER within a row is a
+        # representation detail)
+        coarse1 = np.concatenate([h.verts[l + 1], np.zeros((1, 3))])
+        a = (coarse1[got.unpool_idx[l]] * got.unpool_w[l][..., None]).sum(1)
+        b = (coarse1[h.unpool_idx[l]] * h.unpool_w[l][..., None]).sum(1)
+        np.testing.assert_allclose(a, b, atol=1e-6)
