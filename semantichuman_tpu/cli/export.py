@@ -49,12 +49,23 @@ def main(argv=None):
 
     m = cfg.model
     tag = "".join(str(f) for f in m.ds_factors)
-    hier = compile_topology(
-        assets.template_verts, assets.template_faces,
-        ds_factors=m.ds_factors, step_sizes=m.step_sizes,
-        dilation=m.dilation,
-        reference_vertex=min(414, len(assets.template_verts) - 1),
-        cache_path=os.path.join(args.workdir, f"topology_{tag}.npz"))
+    ref_vertex = min(414, len(assets.template_verts) - 1)
+    if cfg.data.reference_hierarchy:
+        # MUST use the same hierarchy the checkpoint was trained against
+        from ..topology.reference_import import (
+            check_template_match, hierarchy_from_reference_pickle)
+        hier = hierarchy_from_reference_pickle(
+            cfg.data.reference_hierarchy, step_sizes=m.step_sizes,
+            dilation=m.dilation, reference_vertex=ref_vertex,
+            cache_path=os.path.join(args.workdir,
+                                    f"topology_ref_{tag}.npz"))
+        check_template_match(hier, assets.template_verts)
+    else:
+        hier = compile_topology(
+            assets.template_verts, assets.template_faces,
+            ds_factors=m.ds_factors, step_sizes=m.step_sizes,
+            dilation=m.dilation, reference_vertex=ref_vertex,
+            cache_path=os.path.join(args.workdir, f"topology_{tag}.npz"))
     model = build_model(cfg, hier, assets.part_dict)
 
     resume = args.resume or os.path.join(args.workdir, "checkpoints")

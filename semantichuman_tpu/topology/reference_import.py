@@ -27,6 +27,11 @@ from .hierarchy import HierarchyLevels
 def _pool_from_D(D) -> np.ndarray:
     """[V_coarse] fine index per coarse vertex from a binary selector."""
     coo = D.tocoo()
+    if coo.nnz != D.shape[0]:
+        raise ValueError(
+            f"reference D matrix must be a row selector (1 entry/row): "
+            f"{coo.nnz} entries for {D.shape[0]} rows — transposed or "
+            "corrupted pickle?")
     out = np.full(D.shape[0], -1, dtype=np.int64)
     out[coo.row] = coo.col
     if (out < 0).any():
@@ -59,12 +64,24 @@ def hierarchy_from_reference_pickle(path: str,
                                     reference_vertex: int = 414,
                                     cache_path: str | None = None
                                     ) -> MeshHierarchy:
-    """downsampling_matrices pickle -> MeshHierarchy (optionally cached)."""
+    """downsampling_matrices pickle -> MeshHierarchy (optionally cached).
+
+    The cache is keyed on the pickle's content hash + every parameter (same
+    never-trust-a-stale-cache policy as compile_topology)."""
+    import hashlib
     import os
-    if cache_path and os.path.exists(cache_path):
-        return MeshHierarchy.load(cache_path)
+
     with open(path, "rb") as f:
-        data = pickle.load(f)
+        raw = f.read()
+    meta = repr((hashlib.sha1(raw).hexdigest()[:16], tuple(step_sizes),
+                 tuple(dilation), int(reference_vertex)))
+    if cache_path and os.path.exists(cache_path):
+        meta_path = cache_path + ".meta"
+        saved = (open(meta_path).read() if os.path.exists(meta_path)
+                 else None)
+        if saved == meta:
+            return MeshHierarchy.load(cache_path)
+    data = pickle.loads(raw)
     mvf = data["M_verts_faces"]
     verts = [np.asarray(v, dtype=np.float64) for v, _f in mvf]
     faces = [np.asarray(f, dtype=np.int32) for _v, f in mvf]
@@ -77,5 +94,23 @@ def hierarchy_from_reference_pickle(path: str,
     hier = _finalize(levels, list(step_sizes), list(dilation),
                      reference_vertex)
     if cache_path:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         hier.save(cache_path)
+        with open(cache_path + ".meta", "w") as f:
+            f.write(meta)
     return hier
+
+
+def check_template_match(hier: MeshHierarchy, template_verts,
+                         atol: float = 1e-5) -> None:
+    """Raise if an imported hierarchy's level-0 mesh is not the template the
+    assets/data pipeline are built from."""
+    tv = np.asarray(template_verts)
+    if hier.sizes[0] != len(tv):
+        raise ValueError(
+            f"reference hierarchy has {hier.sizes[0]} level-0 vertices, "
+            f"template has {len(tv)} — wrong pickle for this dataset")
+    if not np.allclose(hier.verts[0], tv, atol=atol):
+        raise ValueError(
+            "reference hierarchy's level-0 vertices differ from the "
+            "template mesh — wrong pickle for this dataset")

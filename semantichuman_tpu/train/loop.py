@@ -74,11 +74,12 @@ class Trainer:
         ref_vertex = min(414, len(assets.template_verts) - 1)
         if cfg.data.reference_hierarchy:
             from ..topology.reference_import import (
-                hierarchy_from_reference_pickle)
+                check_template_match, hierarchy_from_reference_pickle)
             self.hierarchy = hierarchy_from_reference_pickle(
                 cfg.data.reference_hierarchy, step_sizes=m.step_sizes,
                 dilation=m.dilation, reference_vertex=ref_vertex,
                 cache_path=os.path.join(workdir, f"topology_ref_{tag}.npz"))
+            check_template_match(self.hierarchy, assets.template_verts)
         else:
             self.hierarchy = compile_topology(
                 assets.template_verts, assets.template_faces,

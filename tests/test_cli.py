@@ -31,10 +31,14 @@ train:
 
 @pytest.fixture(scope="module")
 def pipeline_dir(tmp_path_factory):
-    return str(tmp_path_factory.mktemp("cli"))
+    """Run the full CLI chain once; both tests consume its artifacts, so
+    each is independently runnable."""
+    base = str(tmp_path_factory.mktemp("cli"))
+    _run_pipeline(base)
+    return base
 
 
-def test_full_cli_pipeline(pipeline_dir):
+def _run_pipeline(pipeline_dir):
     root = os.path.join(pipeline_dir, "ds")
 
     make_synthetic.main(["--out_dir", root, "--n_train", "12",
@@ -86,6 +90,15 @@ def test_full_cli_pipeline(pipeline_dir):
     v1 = served.manifest["n_vertices"] + 1
     rec, z, zk = served.forward(jnp.zeros((2, v1, 3), jnp.float32))
     assert rec.shape == (2, v1, 3)
+
+
+def test_full_cli_pipeline(pipeline_dir):
+    """Artifact assertions over the chain the fixture ran."""
+    root = os.path.join(pipeline_dir, "ds")
+    workdir = os.path.join(pipeline_dir, "run")
+    assert os.path.exists(os.path.join(workdir, "predictions",
+                                       "predictions.npy"))
+    assert os.path.exists(os.path.join(workdir, "bundle", "manifest.json"))
 
 
 def test_export_needs_no_dataset(pipeline_dir):

@@ -269,7 +269,7 @@ def test_spiral_invariants(small_hierarchy):
         np.testing.assert_array_equal(s[-1], v)   # dummy row -> dummy
 
 
-def test_reference_pickle_import(small_human, small_hierarchy, tmp_path):
+def test_reference_pickle_import(small_hierarchy, tmp_path):
     """Round trip through the reference's downsampling_matrices pickle
     format (main.py:93-116): scipy-sparse D/U + level meshes in, identical
     hierarchy out — the DFAUST checkpoint-compatibility path."""
