@@ -7,16 +7,34 @@ triangle fan, handle boundaries by walking the other direction in reverse
 insertion order with a -1 pad between the halves, then induct outward ring
 by ring.  This reproduces the algorithm of the reference generator
 (utils_spiral.py:45-417) — which in turn defines the layout of every conv
-weight matrix — with the following deliberate divergences:
+weight matrix — and is PROVEN index-for-index equal to it by oracle
+fixtures: tools/gen_spiral_oracle.py runs the reference's own generator on
+our hierarchies (small + production-scale SMPL-shaped templates → committed
+as tests/golden/spiral_oracle_{small,full}.npz, asserted by
+tests/test_topology.py), and tools/stress_spiral_oracle.py additionally
+matches it on boundary grids, 3-ring walks, multi-reference-point
+accumulation, and 12 random vertex relabelings (which scramble Python's
+set-hash iteration order).
+
+Implementation notes vs the reference text (all proven outcome-equivalent
+by the oracles above):
 
   * triangle pools are insertion-ordered (dict-backed) instead of Python
-    sets, so outer-ring candidate order is fully deterministic rather than
-    dependent on set iteration order;
+    sets; on 2-manifold-with-boundary meshes every candidate choice the
+    walk makes is forced or orientation-disambiguated, so pool order does
+    not change the output (verified across hash-order-scrambling
+    relabelings);
+  * Dijkstra edge weights use the reference's exact sqrt(sum(square))
+    formula — np.linalg.norm differs in the last ulp, and near-ties decide
+    the predecessor that anchors each spiral;
+  * multi-source Dijkstra accumulation keeps the reference quirk that a
+    later source's tree fully overwrites earlier ones;
   * the first-ring walk's redundant `p != v` filter (always implied by
     `p not in seen`) is dropped;
   * per-ring orientation defaults to clockwise-reversed when a ring's walk
     terminates before orientation can be established (the reference reads a
-    stale value from the previous ring in that corner case).
+    stale value from the previous ring in that corner case — not reachable
+    on any oracle mesh).
 
 Output contract matches the reference: per-level dense int table
 [V+1, spiral_size] where entry -1 addresses the dummy (zero) vertex row.
@@ -51,7 +69,12 @@ def dijkstra(verts: np.ndarray, adj: list[np.ndarray], source: int):
             w = int(w)
             if w in seen:
                 continue
-            heapq.heappush(q, (d + float(np.linalg.norm(verts[v] - verts[w])), w, v))
+            # exact reference edge weight (utils_spiral.py:101-102):
+            # np.linalg.norm is NOT bitwise-identical to sqrt(sum(square))
+            # (last-ulp differences), and near-ties in path length decide the
+            # predecessor that anchors every spiral — so match it bitwise.
+            ew = float(np.sqrt(np.sum(np.square(verts[v] - verts[w]))))
+            heapq.heappush(q, (d + ew, w, v))
     return prev, dist
 
 
@@ -293,12 +316,17 @@ def get_spirals(verts: np.ndarray, adj: list[np.ndarray],
 
 
 def _dijkstra_accum(verts, adj, source, dist, prev):
-    if dist is None:
-        return dijkstra(verts, adj, source)
-    # accumulate over multiple sources, keeping earlier results where shorter
+    """Reference-exact multi-source accumulation (utils_spiral.py:104-125,
+    134-137): each later source's full Dijkstra tree OVERWRITES the previous
+    one wherever it reaches (the reference re-runs with shared dist/prev
+    lists and assigns unconditionally on pop), so on a connected mesh the
+    LAST reference point wins outright.  Production uses a single anchor per
+    level, but keep the quirk for exact table parity."""
     new_prev, new_dist = dijkstra(verts, adj, source)
+    if dist is None:
+        return new_prev, new_dist
     for v in range(len(verts)):
-        if dist[v] is None or (new_dist[v] is not None and new_dist[v] < dist[v]):
+        if new_dist[v] is not None:
             dist[v] = new_dist[v]
             prev[v] = new_prev[v]
     return prev, dist

@@ -255,6 +255,44 @@ def test_topology_matches_golden_fixture(small_hierarchy):
                                    atol=1e-6)
 
 
+def test_spiral_matches_reference_oracle_small(small_hierarchy):
+    """Index-for-index parity with the REFERENCE spiral generator.
+
+    tests/golden/spiral_oracle_small.npz was produced by running the
+    reference's own pure-NumPy enumerator (utils_spiral.py:45-417) on the
+    exact hierarchy inputs compile_topology feeds our generator — see
+    tools/gen_spiral_oracle.py (provenance sha1 stored in the fixture).
+    This is the invariant every reference-checkpoint import rests on: the
+    spiral order defines the conv weight layout."""
+    import os
+    oracle = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                  "spiral_oracle_small.npz"))
+    h = small_hierarchy
+    assert int(oracle["n_levels"]) == h.n_levels
+    for l in range(h.n_levels):
+        ref = oracle[f"spirals_{l}"]
+        ours = np.where(h.spirals[l] == h.sizes[l], -1, h.spirals[l])
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_full_topology_matches_reference_oracle():
+    """Same reference-oracle parity at PRODUCTION scale (6892-vertex SMPL
+    -shaped template, filters/steps of the paper config): the cached
+    topology used by bench.py/__graft_entry__ must equal the tables the
+    reference generator emits on the same hierarchy."""
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..")
+    asset = np.load(os.path.join(root, "assets",
+                                 "topology_synth_full_2222.npz"))
+    oracle = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                  "spiral_oracle_full.npz"))
+    for l in range(int(oracle["n_levels"])):
+        ref = oracle[f"spirals_{l}"]
+        got = asset[f"spirals_{l}"]
+        dummy = got.shape[0] - 1
+        np.testing.assert_array_equal(np.where(got == dummy, -1, got), ref)
+
+
 def test_spiral_invariants(small_hierarchy):
     """Structural invariants of the spiral tables: every real vertex's
     spiral starts at itself (reference convention, utils_spiral.py:140-255),
