@@ -60,24 +60,8 @@ class MeshData:
         self.stats = self._compute_stats()
 
     def _compute_stats(self) -> ShapeStats:
-        # substring matching, like normalize_batch — modes compose
-        s = ShapeStats()
-        if "gass" in self.normalization:
-            s.mean = np.mean(self.vertices_train, axis=0)
-            s.std = np.std(self.vertices_train, axis=0)
-        if "normal" in self.normalization:
-            # 'normal' is an eval-time mode: per-sample per-axis bbox stats
-            # of the TEST split, indexed by test-sample id (reference:
-            # shape_data.py:44-47 — its quirk, kept deliberately; using it
-            # on train indices beyond len(test) is an error there too)
-            vt = self.vertices_test
-            if vt is None:
-                raise ValueError(
-                    "'normal' normalization needs a test split "
-                    "(preprocessed/test.npy) to compute per-sample stats")
-            s.center = (np.max(vt, axis=1) + np.min(vt, axis=1)) / 2
-            s.scale = 1.0 / (np.max(vt, axis=1) - np.min(vt, axis=1))
-        return s
+        return compute_stats(self.vertices_train, self.vertices_test,
+                             self.normalization)
 
     def save_meshes(self, prefix: str, meshes: np.ndarray, indices,
                     vert_colors=None, kps=None, skl_list=None):
@@ -138,6 +122,51 @@ class FileSource:
                                      self.names[i] + ".npy"))
                 for i in idx]).astype(np.float32)
         return out
+
+
+def compute_stats(train_verts, test_verts, normalization: str) -> ShapeStats:
+    """Normalization statistics (substring-matched modes compose, like
+    normalize_batch)."""
+    s = ShapeStats()
+    if "gass" in normalization:
+        s.mean = np.mean(train_verts, axis=0)
+        std = np.std(train_verts, axis=0)
+        # zero-variance coordinates (possible on synthetic templates; never
+        # on DFAUST, so the reference divides unguarded) would normalize to
+        # ±inf — map them to the identity scale instead
+        s.std = np.where(std == 0, 1.0, std)
+    if "normal" in normalization:
+        # 'normal' is an eval-time mode: per-sample per-axis bbox stats
+        # of the TEST split, indexed by test-sample id (reference:
+        # shape_data.py:44-47 — its quirk, kept deliberately; using it
+        # on train indices beyond len(test) is an error there too)
+        if test_verts is None:
+            raise ValueError(
+                "'normal' normalization needs a test split "
+                "(preprocessed/test.npy) to compute per-sample stats")
+        s.center = (np.max(test_verts, axis=1) + np.min(test_verts, axis=1)) / 2
+        s.scale = 1.0 / (np.max(test_verts, axis=1) - np.min(test_verts, axis=1))
+    return s
+
+
+def unnormalize_batch(verts: np.ndarray, normalization: str,
+                      stats: ShapeStats | None = None,
+                      idx: np.ndarray | None = None) -> np.ndarray:
+    """Invert the SCALING normalization modes ('gass', 'normal') on
+    [B, V, 3] vertices (no dummy row) so eval metrics are true millimeters.
+
+    The reference defines this as `unnormal` (test_funcs.py:9-15 /
+    train_funcs.py:46) but never calls it — its `unnormal_flag` parameter
+    is accepted and ignored, so the published mm metric is computed in
+    normalized coordinates whenever gass/normal training is used.  Here the
+    inverse is live (Trainer.evaluate).  Rigid translations (zeromean /
+    zeroroot) cancel in vertex differences and are not inverted."""
+    v = verts
+    if "normal" in normalization:
+        v = v / stats.scale[idx][:, None, :] + stats.center[idx][:, None, :]
+    if "gass" in normalization:
+        v = v * stats.std + stats.mean
+    return v
 
 
 def normalize_batch(verts: np.ndarray, normalization: str,

@@ -64,6 +64,15 @@ class Trainer:
             self._synthetic = SyntheticHuman(
                 n_theta=cfg.data.synthetic_n_theta,
                 n_phi=cfg.data.synthetic_n_phi)
+            if (len(self._synthetic.template_verts)
+                    != len(assets.template_verts)):
+                raise ValueError(
+                    f"explicit assets have {len(assets.template_verts)} "
+                    f"template vertices but the synthetic generator at "
+                    f"n_theta={cfg.data.synthetic_n_theta} / "
+                    f"n_phi={cfg.data.synthetic_n_phi} produces "
+                    f"{len(self._synthetic.template_verts)} — set "
+                    "data.synthetic_n_theta/n_phi to match the assets")
         self.assets = assets
         self._setup_data(data)
 
@@ -154,6 +163,9 @@ class Trainer:
                 "test": ArraySource(test.astype(np.float32)),
             }
             self.mesh_data = None
+            # gass/normal need dataset statistics even without a MeshData
+            from ..data.dataset import compute_stats
+            self._stats = compute_stats(train, test, cfg.data.normalization)
         else:
             root = os.path.join(cfg.data.root_dir, "preprocessed")
             n_val = cfg.data.n_val
@@ -200,7 +212,10 @@ class Trainer:
                                                    f"paths_{split}.npy"))}
                 if "val" not in self.data:
                     self.data["val"] = self.data["test"]
-        stats = getattr(getattr(self, "mesh_data", None), "stats", None)
+        stats = getattr(self, "_stats", None)
+        if stats is None:
+            stats = getattr(getattr(self, "mesh_data", None), "stats", None)
+        self.stats = stats
         t = cfg.train
         common = dict(normalization=cfg.data.normalization, j_regressor=jr,
                       stats=stats)
@@ -353,10 +368,26 @@ class Trainer:
             count += n_valid
         return total / max(count, 1)
 
-    def evaluate(self, loader=None, mm_constant: float = 1000.0):
+    def evaluate(self, loader=None, mm_constant: float = 1000.0,
+                 unnormalize: bool | None = None):
         """Full test-set eval: returns (predictions, z, z_kps, inputs,
-        mean L1, mean per-vertex mm error) — reference test_funcs.py:61-110."""
+        mean L1, mean per-vertex mm error) — reference test_funcs.py:61-110.
+
+        `unnormalize` (default: auto — on whenever the normalization string
+        contains a SCALING mode, 'gass' or 'normal') inverts the scaling
+        before the metrics and returned arrays, so the mm number is true
+        millimeters.  The reference defines this inverse (`unnormal`,
+        test_funcs.py:9-15) but never calls it — its unnormal_flag is dead —
+        so pass unnormalize=False to reproduce the reference's
+        normalized-space metric exactly."""
+        from ..data.dataset import unnormalize_batch
         loader = loader or self.test_loader
+        norm = self.cfg.data.normalization
+        if unnormalize is None:
+            unnormalize = ("gass" in norm) or ("normal" in norm)
+        if unnormalize and self.stats is None:
+            raise ValueError("unnormalize=True needs dataset stats "
+                             "(train with gass/normal normalization)")
         step = self._get_eval_step(mm_constant)
         preds, zs, zkps, txs = [], [], [], []
         l1_sum, l2_sum, count = 0.0, 0.0, 0
@@ -364,12 +395,27 @@ class Trainer:
             batch = self._put(batch)
             out = step(self.params, batch)
             n_valid = batch["verts"].shape[0] - batch.get("pad", 0)
-            preds.append(np.asarray(out["rec"][:n_valid]))
+            rec = np.asarray(out["rec"][:n_valid])
+            tx = np.asarray(batch["verts"][:n_valid])
+            if unnormalize:
+                idx = np.asarray(batch["idx"][:n_valid])
+                rec = np.concatenate(
+                    [unnormalize_batch(rec[:, :-1], norm, self.stats, idx),
+                     rec[:, -1:]], axis=1)
+                tx = np.concatenate(
+                    [unnormalize_batch(tx[:, :-1], norm, self.stats, idx),
+                     tx[:, -1:]], axis=1)
+                d = rec[:, :-1] - tx[:, :-1]
+                l1_sum += float(np.sum(np.mean(np.abs(d), axis=(1, 2))))
+                l2_sum += float(np.sum(np.mean(np.sqrt(np.sum(
+                    (d * mm_constant) ** 2, axis=2)), axis=1)))
+            else:
+                l1_sum += float(jnp.sum(out["l1"][:n_valid]))
+                l2_sum += float(jnp.sum(out["l2_mm"][:n_valid]))
+            preds.append(rec)
             zs.append(np.asarray(out["z"][:n_valid]))
             zkps.append(np.asarray(out["z_kps"][:n_valid]))
-            txs.append(np.asarray(batch["verts"][:n_valid]))
-            l1_sum += float(jnp.sum(out["l1"][:n_valid]))
-            l2_sum += float(jnp.sum(out["l2_mm"][:n_valid]))
+            txs.append(tx)
             count += n_valid
         return (np.concatenate(preds), np.concatenate(zs),
                 np.concatenate(zkps), np.concatenate(txs),

@@ -125,3 +125,67 @@ def test_export_needs_no_dataset(pipeline_dir):
     export.main(["--config", cfg_path, "--workdir", work,
                  "--batch_size", "2"])
     assert os.path.exists(os.path.join(work, "bundle", "manifest.json"))
+
+
+def test_eval_reference_checkpoint(pipeline_dir, capsys):
+    """North-star harness mechanics end-to-end (VERDICT r1 item 2b): save a
+    torch .pth.tar in the reference's checkpoint format, evaluate it in
+    torch (the reference's test_funcs.py:61-110 recipe), then run
+    cli.eval_reference and require the imported-model metrics to match the
+    torch numbers within the 0.5% north-star budget."""
+    import json
+
+    torch = pytest.importorskip("torch")
+    from benchmarks.torch_baseline import (build_torch_model,
+                                           reference_state_dict)
+    from semantichuman_tpu.cli import eval_reference
+    from semantichuman_tpu.constants import KPS_INDEX_LIST, KPS_KEEP
+    from semantichuman_tpu.data.assets import BodyAssets
+    from semantichuman_tpu.topology import compile_topology
+
+    root = os.path.join(pipeline_dir, "ds")
+    assets = BodyAssets.load(os.path.join(root, "asset"),
+                             os.path.join(root, "template", "template.obj"))
+    hier = compile_topology(
+        assets.template_verts, assets.template_faces,
+        reference_vertex=min(414, len(assets.template_verts) - 1))
+    coarse = hier.downsample_part_indices(assets.part_dict)
+    torch.manual_seed(3)
+    torch_model = build_torch_model(
+        hier, coarse, KPS_INDEX_LIST,
+        enc_filters=[3, 8, 8, 16, 16], dec_filters=[16, 16, 8, 8, 8])
+    ckpt = os.path.join(pipeline_dir, "checkpoint42.pth.tar")
+    torch.save({"epoch": 42,
+                "autoencoder_state_dict": reference_state_dict(torch_model),
+                "optimizer_state_dict": {},
+                "scheduler_state_dict": {}}, ckpt)
+
+    # --- the reference's own eval recipe, in torch --------------------------
+    test_v = np.load(os.path.join(root, "preprocessed",
+                                  "test.npy")).astype(np.float32)
+    jr = assets.j_regressor.astype(np.float32)
+    root_j = np.einsum("v,bvd->bd", jr[0], test_v)
+    xn = np.nan_to_num(test_v - root_j[:, None, :])       # zeroroot
+    x = np.concatenate([xn, np.zeros((len(xn), 1, 3), np.float32)], axis=1)
+    kps = np.einsum("jv,bvd->bjd", jr, xn)[:, KPS_KEEP]
+    with torch.no_grad():
+        rec = torch_model(torch.as_tensor(x), torch.as_tensor(kps))[0].numpy()
+    d = rec[:, :-1] - x[:, :-1]
+    t_l1 = float(np.mean(np.abs(d)))
+    t_mm = float(np.mean(np.sqrt(np.sum((d * 1000.0) ** 2, axis=2))))
+
+    # --- one-command harness -------------------------------------------------
+    cfg_path = os.path.join(pipeline_dir, "eval_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG.format(root=root))
+    rc = eval_reference.main([
+        "--config", cfg_path, "--checkpoint", ckpt,
+        "--workdir", os.path.join(pipeline_dir, "ref_eval"),
+        "--batch_test", "4",
+        "--torch_l1", str(t_l1), "--torch_mm", str(t_mm),
+        "--max_delta_pct", "0.5"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0, out
+    assert out["epoch"] == 42
+    assert abs(out["mm_delta_pct"]) < 0.5
+    assert abs(out["l1_delta_pct"]) < 0.5

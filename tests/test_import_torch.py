@@ -69,6 +69,58 @@ def test_pth_tar_roundtrip(pair, batch, tmp_path):
     np.testing.assert_allclose(np.asarray(j_rec), t_rec.numpy(), atol=2e-4)
 
 
+@pytest.mark.slow
+def test_full_scale_import_forward_parity():
+    """PRODUCTION-scale checkpoint-import parity (VERDICT r1 item 2a):
+    6892-vertex SMPL-shaped template, the paper's filters
+    [3,16,32,64,128] / [128,64,32,32,16] (traincfg.yaml:5-6), full 17-part
+    heads — import a torch state dict and match the forward outputs.
+
+    Runs on the oracle-verified cached topology
+    (assets/topology_synth_full_2222.npz), so this exercises the exact
+    table layout a real DFAUST .pth.tar import would use."""
+    import os
+
+    import jax
+
+    from semantichuman_tpu.config import Config
+    from semantichuman_tpu.data.assets import BodyAssets
+    from semantichuman_tpu.topology.compiler import MeshHierarchy
+
+    full_topo = os.path.join(os.path.dirname(__file__), "..", "assets",
+                             "topology_synth_full_2222.npz")
+    hier = MeshHierarchy.load(full_topo)
+    assets, sh = BodyAssets.synthetic()
+    assert len(assets.template_verts) == hier.sizes[0]
+
+    cfg = Config.from_dict({"model": {"use_pallas": False}})
+    jax_model = build_model(cfg, hier, assets.part_dict)
+    coarse = hier.downsample_part_indices(assets.part_dict)
+    torch.manual_seed(0)
+    torch_model = build_torch_model(
+        hier, coarse, KPS_INDEX_LIST,
+        enc_filters=cfg.model.filter_sizes_enc[0],
+        dec_filters=cfg.model.filter_sizes_dec[0])
+
+    params = import_part_ae_state(reference_state_dict(torch_model),
+                                  jax_model)
+
+    meshes = sh.sample_meshes(2, seed=5).astype(np.float32)
+    x = np.concatenate([meshes, np.zeros((2, 1, 3), np.float32)], axis=1)
+    kps = np.einsum("jv,bvd->bjd",
+                    assets.j_regressor.astype(np.float32), meshes)
+    kps = kps[:, KPS_KEEP].astype(np.float32)
+
+    with torch.no_grad():
+        t_rec, t_z, t_zk = torch_model(torch.as_tensor(x),
+                                       torch.as_tensor(kps))
+    j_rec, j_z, j_zk = jax.jit(jax_model)(params, jnp.asarray(x),
+                                          jnp.asarray(kps))
+    np.testing.assert_allclose(np.asarray(j_z), t_z.numpy(), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(j_zk), t_zk.numpy(), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(j_rec), t_rec.numpy(), atol=5e-4)
+
+
 def test_import_rejects_wrong_part_layout(pair, small_hierarchy,
                                           small_human):
     jax_model, torch_model = pair
