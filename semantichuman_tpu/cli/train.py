@@ -24,7 +24,22 @@ def main(argv=None):
                     help="checkpoint dir to resume from")
     ap.add_argument("--synthetic", action="store_true",
                     help="force the synthetic dataset (no DFAUST needed)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: run jax.distributed.initialize before "
+                         "any backend use (auto-detected coordinator on TPU "
+                         "pods, or --coordinator/--num_processes/"
+                         "--process_id for manual bring-up)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (multi-host)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.distributed or args.coordinator:
+        # must precede every jax backend touch (including enable_cache)
+        from ..parallel.distributed import initialize_distributed
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
 
     from ..utils.compilation_cache import enable_cache
     enable_cache()

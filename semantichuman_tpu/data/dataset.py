@@ -203,7 +203,8 @@ class BatchLoader:
                  seed: int = 0, normalization: str = "No",
                  j_regressor: np.ndarray | None = None,
                  stats: ShapeStats | None = None, dummy_node: bool = True,
-                 drop_last: bool = False, pad_final: bool = False):
+                 drop_last: bool = False, pad_final: bool = False,
+                 process_slice: tuple[int, int] | None = None):
         self.source = source
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -215,6 +216,13 @@ class BatchLoader:
         self.dummy_node = dummy_node
         self.drop_last = drop_last
         self.pad_final = pad_final
+        # (rank, world): every process iterates the SAME global batch order
+        # (same seed/epoch) but loads only its contiguous slice of each
+        # batch — the rows its mesh shard owns (process-major batch axis)
+        self.process_slice = process_slice
+        if process_slice is not None and batch_size % process_slice[1]:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"{process_slice[1]} processes")
         self.epoch = 0
 
     def __len__(self):
@@ -239,6 +247,20 @@ class BatchLoader:
             if self.pad_final and len(idx) < self.batch_size:
                 pad = self.batch_size - len(idx)
                 idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            valid = np.ones(len(idx), np.float32)
+            if pad:
+                valid[-pad:] = 0.0
+            global_idx = idx
+            if self.process_slice is not None:
+                r, w = self.process_slice
+                if len(idx) % w:
+                    raise ValueError(
+                        f"batch of {len(idx)} not divisible by {w} processes "
+                        "(use drop_last or pad_final with a divisible "
+                        "batch_size)")
+                per = len(idx) // w
+                idx = idx[r * per:(r + 1) * per]
+                valid = valid[r * per:(r + 1) * per]
             batch = self.source.take(idx)
             v = normalize_batch(batch["verts"], self.normalization,
                                 self.j_regressor, self.stats, idx)
@@ -246,7 +268,9 @@ class BatchLoader:
                 z = np.zeros((v.shape[0], 1, v.shape[2]), dtype=v.dtype)
                 v = np.concatenate([v, z], axis=1)
             batch["verts"] = v
-            batch["pad"] = pad
+            batch["pad"] = pad              # GLOBAL pad count
+            batch["valid"] = valid          # local rows' validity mask
+            batch["global_idx"] = global_idx
             yield batch
 
     def cycle(self):
@@ -257,17 +281,25 @@ class BatchLoader:
 
 
 def place_batch(batch: dict, sharding=None) -> dict:
-    """Device-place a host batch: every non-object ndarray except 'idx'
-    lands on device (sharded across the mesh when given); scalars and ids
-    stay host-side.  THE single placement policy — the prefetch pipeline
-    and Trainer._put both delegate here."""
+    """Device-place a host batch: every non-object ndarray except the id
+    vectors lands on device (sharded across the mesh when given); scalars
+    and ids stay host-side.  THE single placement policy — the prefetch
+    pipeline and Trainer._put both delegate here.
+
+    Multi-process: each process holds only ITS rows of the global batch
+    (BatchLoader process_slice), so placement assembles the global array
+    via jax.make_array_from_process_local_data instead of device_put
+    (which rejects non-addressable devices)."""
     import jax
 
     arrays = {k: v for k, v in batch.items()
               if isinstance(v, np.ndarray) and v.dtype != object
-              and k != "idx"}
+              and k not in ("idx", "global_idx")}
     rest = {k: v for k, v in batch.items() if k not in arrays}
-    if sharding is not None:
+    if sharding is not None and jax.process_count() > 1:
+        arrays = {k: jax.make_array_from_process_local_data(sharding, v)
+                  for k, v in arrays.items()}
+    elif sharding is not None:
         arrays = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
     else:
         arrays = {k: jax.device_put(v) for k, v in arrays.items()}

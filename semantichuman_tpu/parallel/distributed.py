@@ -23,16 +23,20 @@ def initialize_distributed(coordinator_address: str | None = None,
 
     With no arguments, relies on the TPU environment's auto-detection
     (GKE/GCE metadata); explicit values support manual bring-up.  Safe to
-    call when already initialized (no-op) or single-process (no-op unless
-    explicitly configured).
+    call twice (no-op) or single-process (no-op unless explicitly
+    configured).
+
+    MUST run before any jax backend use — even jax.process_count() would
+    initialize the backend and foreclose distributed startup, so the
+    already-initialized check reads the distributed client state directly.
     """
-    if jax.process_count() > 1:
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
         return  # already initialized
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR")
     if explicit or num_processes is not None:
         jax.distributed.initialize(
-            coordinator_address=coordinator_address
-            or os.environ.get("JAX_COORDINATOR"),
+            coordinator_address=explicit,
             num_processes=num_processes, process_id=process_id)
     else:
         try:
@@ -48,7 +52,12 @@ def global_batch_mesh(axis_name: str = "data"):
 
 
 def process_local_batch_slice(global_batch: int) -> tuple[int, int]:
-    """(start, size) of this process's slice of a globally sharded batch."""
+    """(start, size) of this process's slice of a globally sharded batch.
+
+    The mesh lays the batch axis over jax.devices() (process-major), so
+    process p owns rows [p*per, (p+1)*per) of every global batch — the
+    contract BatchLoader(process_slice=...) and place_batch's
+    make_array_from_process_local_data path both rely on."""
     n = jax.process_count()
     if global_batch % n:
         raise ValueError(f"global batch {global_batch} not divisible by "

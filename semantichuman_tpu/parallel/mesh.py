@@ -34,6 +34,33 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, rep)
 
 
+def put_replicated(tree, mesh: Mesh):
+    """Replicate a host pytree across the mesh — multi-process safe.
+
+    Single-process: plain device_put.  Multi-process: device_put on
+    non-addressable devices raises, so assemble the global array from
+    per-process callbacks (every process holds the full value)."""
+    rep = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, rep)
+    import numpy as np
+
+    def put(x):
+        a = np.asarray(x)
+        return jax.make_array_from_callback(a.shape, rep, lambda idx: a[idx])
+    return jax.tree.map(put, tree)
+
+
+def fully_replicate(arr, mesh: Mesh):
+    """Gather a (possibly batch-sharded) global array so every process can
+    read it host-side (np.asarray on a non-addressable array raises)."""
+    if jax.process_count() == 1:
+        return arr
+    out = jax.jit(lambda x: x,
+                  out_shardings=replicated_sharding(mesh))(arr)
+    return out.addressable_data(0)
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Place each batch array with its leading axis split across the mesh."""
     bs = batch_sharding(mesh, axis_name)

@@ -42,6 +42,15 @@ class Trainer:
                  assets: BodyAssets | None = None, data=None):
         self.cfg = cfg
         self.workdir = workdir
+        # multi-process (multi-host) context: call
+        # parallel.distributed.initialize_distributed() BEFORE constructing
+        # the Trainer (cli/train.py --distributed does)
+        self.n_processes = jax.process_count()
+        self.process_index = jax.process_index()
+        self._is_main = self.process_index == 0
+        self.process_slice = None
+        if cfg.train.data_parallel and self.n_processes > 1:
+            self.process_slice = (self.process_index, self.n_processes)
         for sub in ("checkpoints", "summaries", "samples", "predictions"):
             os.makedirs(os.path.join(workdir, sub), exist_ok=True)
 
@@ -112,21 +121,44 @@ class Trainer:
             self._resume(cfg.train.resume, cfg.train.finetune)
 
         # --- parallel placement ----------------------------------------------
-        # DP over the largest device count that divides every batch size
         self.mesh = None
         self.batch_shard = None
-        if cfg.train.data_parallel and len(jax.devices()) > 1:
+        if cfg.train.data_parallel and (len(jax.devices()) > 1
+                                        or self.n_processes > 1):
             t = cfg.train
-            n = len(jax.devices())
-            while n > 1 and any(b % n for b in
-                                (t.batch_train, t.batch_interp, t.batch_test)):
-                n -= 1
-            if n > 1:
-                self.mesh = make_mesh(jax.devices()[:n])
+            n_total = len(jax.devices())
+            batches = (t.batch_train, t.batch_interp, t.batch_test)
+            if self.n_processes > 1:
+                # multi-host: the mesh MUST span every process's devices
+                # (a prefix mesh would leave some processes without any
+                # addressable shard) — so divisibility is a hard requirement
+                bad = [b for b in batches if b % n_total]
+                if bad:
+                    raise ValueError(
+                        f"multi-host DP over {n_total} devices needs every "
+                        f"batch size divisible by {n_total}; got {bad}")
+                self.mesh = make_mesh(jax.devices())
+            else:
+                # single host: DP over the largest device count that divides
+                # every batch size
+                n = n_total
+                while n > 1 and any(b % n for b in batches):
+                    n -= 1
+                if n > 1:
+                    if n < n_total:
+                        import warnings
+                        warnings.warn(
+                            f"data-parallel mesh uses only {n}/{n_total} "
+                            f"devices: batch sizes {batches} are not all "
+                            f"divisible by {n_total} — the remaining chips "
+                            "sit idle; raise the batch sizes to use them",
+                            stacklevel=2)
+                    self.mesh = make_mesh(jax.devices()[:n])
+            if self.mesh is not None:
+                from ..parallel.mesh import put_replicated
                 self.batch_shard = batch_sharding(self.mesh)
-                rep = replicated_sharding(self.mesh)
-                self.params = jax.device_put(self.params, rep)
-                self.opt_state = jax.device_put(self.opt_state, rep)
+                self.params = put_replicated(self.params, self.mesh)
+                self.opt_state = put_replicated(self.opt_state, self.mesh)
 
         self.sampler = EditSampler(
             edit_mode=cfg.train.edit_mode, rand_mode=cfg.train.rand_mode,
@@ -218,7 +250,7 @@ class Trainer:
         self.stats = stats
         t = cfg.train
         common = dict(normalization=cfg.data.normalization, j_regressor=jr,
-                      stats=stats)
+                      stats=stats, process_slice=self.process_slice)
         self.train_loader = BatchLoader(
             self.data["train"], t.batch_train, shuffle=cfg.data.shuffle,
             seed=t.seed, drop_last=True, **common)
@@ -270,6 +302,39 @@ class Trainer:
         from ..data.dataset import place_batch
         return place_batch(batch, self.batch_shard)
 
+    @staticmethod
+    def _step_view(batch: dict) -> dict:
+        """The device-array subset a jitted step consumes — host-side ids
+        (idx/global_idx/pad) stay out of the jit pytree (they differ across
+        processes in multi-host runs)."""
+        return {k: batch[k] for k in ("verts", "measure") if k in batch}
+
+    def _host(self, arr) -> np.ndarray:
+        """Read a (possibly non-fully-addressable) device array on the host."""
+        if self.n_processes > 1:
+            from ..parallel.mesh import fully_replicate
+            return np.asarray(fully_replicate(arr, self.mesh))
+        return np.asarray(arr)
+
+    def _interp_measure(self, interp_b: dict):
+        """Host view of the interp batch's measures for the edit sampler —
+        only edit_mode='exc' reads them (np.flip(measure)/measure), and in
+        multi-host runs that needs the GLOBAL rows gathered."""
+        m = interp_b.get("measure")
+        if m is None or self.cfg.train.edit_mode != "exc":
+            return m
+        return self._host(m)
+
+    def _masked_sum(self, values, valid):
+        """Sum of per-sample values over the valid (non-padded) rows, plus
+        the valid count — computed jitted so it works on globally sharded
+        eval batches."""
+        if not hasattr(self, "_masked_sum_fn"):
+            self._masked_sum_fn = jax.jit(
+                lambda x, m: (jnp.sum(x * m), jnp.sum(m)))
+        s, c = self._masked_sum_fn(values, valid)
+        return float(s), float(c)
+
     # --- main loop ---------------------------------------------------------------
     def dump_part_template(self):
         """Part-colored template OBJ visual spot-check at train start
@@ -293,7 +358,7 @@ class Trainer:
             raise ValueError(
                 f"train split has {len(self.data['train'])} samples — fewer "
                 f"than batch_interp={cfg.train.batch_interp} (drop_last)")
-        if self.start_epoch == 1 and cfg.train.save_recons:
+        if self.start_epoch == 1 and cfg.train.save_recons and self._is_main:
             self.dump_part_template()
         interp_iter = self.interp_loader.cycle()
         for epoch in range(self.start_epoch, n_epochs + 1):
@@ -313,32 +378,42 @@ class Trainer:
                     variant = self.sampler.sample_exc_variant()
                     spec = self.sampler.sample_interp(
                         epoch, interp_b["verts"].shape[0],
-                        measure=interp_b.get("measure"))
-                    spec = {k: jnp.asarray(v) for k, v in spec.items()}
+                        measure=self._interp_measure(interp_b))
+                    if self.n_processes > 1:
+                        # every process draws the same spec (same seed);
+                        # replicate it over the global mesh
+                        from ..parallel.mesh import put_replicated
+                        spec = put_replicated(spec, self.mesh)
+                    else:
+                        spec = {k: jnp.asarray(v) for k, v in spec.items()}
                     step = self._get_step(epoch, variant)
                     self.params, self.opt_state, metrics = step(
-                        self.params, self.opt_state, batch, interp_b, exc_b,
+                        self.params, self.opt_state, self._step_view(batch),
+                        self._step_view(interp_b), self._step_view(exc_b),
                         spec)
                 else:
                     step = self._get_step(epoch, "ori")
                     self.params, self.opt_state, metrics = step(
-                        self.params, self.opt_state, batch)
+                        self.params, self.opt_state, self._step_view(batch))
                 bs = batch["verts"].shape[0]
                 tloss += float(metrics["loss"]) * bs
                 tcount += bs
                 self.global_step += 1
-                if cfg.train.log_every and (
+                if cfg.train.log_every and self._is_main and (
                         self.global_step % cfg.train.log_every == 0):
                     self.logger.log(self.global_step, metrics)
                 last_batch = batch
 
-            self.logger.log(self.global_step, metrics)
+            if self._is_main:
+                self.logger.log(self.global_step, metrics)
             epoch_tloss = tloss / max(tcount, 1)
             vloss = self.validate()
-            self.logger.log(epoch, {"epoch_train": epoch_tloss,
-                                    "epoch_val": vloss}, prefix="epoch")
-            print(f"epoch {epoch} | tr {epoch_tloss:.6f} | val {vloss:.6f} "
-                  f"| {time.time() - t0:.1f}s", flush=True)
+            if self._is_main:
+                self.logger.log(epoch, {"epoch_train": epoch_tloss,
+                                        "epoch_val": vloss}, prefix="epoch")
+                print(f"epoch {epoch} | tr {epoch_tloss:.6f} "
+                      f"| val {vloss:.6f} | {time.time() - t0:.1f}s",
+                      flush=True)
 
             if epoch % cfg.train.ck_frequency == 0:
                 self.save(epoch)
@@ -359,14 +434,14 @@ class Trainer:
 
     def validate(self) -> float:
         step = self._get_eval_step()
-        total, count = 0.0, 0
+        total, count = 0.0, 0.0
         for batch in self.val_loader:
             batch = self._put(batch)
-            out = step(self.params, batch)
-            n_valid = batch["verts"].shape[0] - batch.get("pad", 0)
-            total += float(jnp.sum(out["l1"][:n_valid]))
-            count += n_valid
-        return total / max(count, 1)
+            out = step(self.params, self._step_view(batch))
+            s, c = self._masked_sum(out["l1"], batch["valid"])
+            total += s
+            count += c
+        return total / max(count, 1.0)
 
     def evaluate(self, loader=None, mm_constant: float = 1000.0,
                  unnormalize: bool | None = None):
@@ -393,12 +468,12 @@ class Trainer:
         l1_sum, l2_sum, count = 0.0, 0.0, 0
         for batch in loader:
             batch = self._put(batch)
-            out = step(self.params, batch)
+            out = step(self.params, self._step_view(batch))
             n_valid = batch["verts"].shape[0] - batch.get("pad", 0)
-            rec = np.asarray(out["rec"][:n_valid])
-            tx = np.asarray(batch["verts"][:n_valid])
+            rec = self._host(out["rec"])[:n_valid]
+            tx = self._host(batch["verts"])[:n_valid]
             if unnormalize:
-                idx = np.asarray(batch["idx"][:n_valid])
+                idx = np.asarray(batch["global_idx"][:n_valid])
                 rec = np.concatenate(
                     [unnormalize_batch(rec[:, :-1], norm, self.stats, idx),
                      rec[:, -1:]], axis=1)
@@ -410,11 +485,11 @@ class Trainer:
                 l2_sum += float(np.sum(np.mean(np.sqrt(np.sum(
                     (d * mm_constant) ** 2, axis=2)), axis=1)))
             else:
-                l1_sum += float(jnp.sum(out["l1"][:n_valid]))
-                l2_sum += float(jnp.sum(out["l2_mm"][:n_valid]))
+                l1_sum += self._masked_sum(out["l1"], batch["valid"])[0]
+                l2_sum += self._masked_sum(out["l2_mm"], batch["valid"])[0]
             preds.append(rec)
-            zs.append(np.asarray(out["z"][:n_valid]))
-            zkps.append(np.asarray(out["z_kps"][:n_valid]))
+            zs.append(self._host(out["z"])[:n_valid])
+            zkps.append(self._host(out["z_kps"])[:n_valid])
             txs.append(tx)
             count += n_valid
         return (np.concatenate(preds), np.concatenate(zs),
@@ -438,10 +513,14 @@ class Trainer:
     def _dump_sample(self, epoch: int, batch: dict):
         """GT + reconstruction OBJ spot-dumps (train_funcs.py:459-470)."""
         from ..topology.obj_io import save_obj
-        res = self._get_eval_step()(self.params, batch)
+        res = self._get_eval_step()(self.params, self._step_view(batch))
+        # _host is collective (all processes must participate) — gate only
+        # the file writes on the main process
+        gt = self._host(batch["verts"])[0, :-1]
+        rec = self._host(res["rec"])[0, :-1]
+        if not self._is_main:
+            return
         sdir = os.path.join(self.workdir, "samples")
-        gt = np.asarray(batch["verts"][0, :-1])
-        rec = np.asarray(res["rec"][0, :-1])
         save_obj(os.path.join(sdir, f"epoch{epoch}_GT.obj"), gt,
                  self.assets.template_faces)
         save_obj(os.path.join(sdir, f"epoch{epoch}_rec.obj"), rec,

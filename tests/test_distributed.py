@@ -1,0 +1,76 @@
+"""Multi-host (multi-process) data parallelism — real 2-process runs.
+
+The reference is strictly single-GPU (SURVEY.md §2.3); the TPU-native
+design scales the same 1-D data mesh across hosts via jax.distributed.
+This test launches TWO actual processes (4 virtual CPU devices each) with
+jax.distributed.initialize over a localhost coordinator, trains the small
+synthetic config through the full Trainer path — per-process batch slices,
+make_array_from_process_local_data placement, replicated params, gradient
+psum over the global 8-device mesh — and requires bit-for-bit agreement
+with the single-process 8-device run.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HELPER = os.path.join(os.path.dirname(__file__), "helpers",
+                      "multihost_train.py")
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
+
+def _run(args, workdir):
+    return subprocess.Popen(
+        [sys.executable, HELPER, "--workdir", workdir, *args],
+        env=_env(), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+
+
+def _result(proc, timeout=420):
+    out, err = proc.communicate(timeout=timeout)
+    assert proc.returncode == 0, f"helper failed:\n{err[-3000:]}"
+    return json.loads(out.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_two_process_train_matches_single_process(tmp_path):
+    port = _free_port()
+    coord = f"localhost:{port}"
+
+    procs = [
+        _run(["--rank", str(r), "--num_processes", "2",
+              "--coordinator", coord, "--devices", "4"],
+             str(tmp_path / f"mh{r}"))
+        for r in range(2)
+    ]
+    multi = [_result(p) for p in procs]
+
+    single = _result(_run(["--devices", "8"], str(tmp_path / "sp")))
+
+    # both ranks observe identical (fully replicated) results
+    assert multi[0]["val"] == pytest.approx(multi[1]["val"], rel=1e-12)
+    assert multi[0]["param_sum"] == pytest.approx(multi[1]["param_sum"],
+                                                  rel=1e-12)
+    # and the 2-process run reproduces the 1-process 8-device run: same
+    # global mesh, same program, same data order -> same updates
+    assert multi[0]["val"] == pytest.approx(single["val"], rel=1e-6)
+    assert multi[0]["param_sum"] == pytest.approx(single["param_sum"],
+                                                  rel=1e-6)
