@@ -60,6 +60,14 @@ class DataConfig:
     reference_hierarchy: Optional[str] = None
     # host pipeline prefetch depth (batches staged ahead on device)
     prefetch: int = 2
+    # stage whole splits into device HBM and materialize batches with an
+    # on-device gather + fused normalization (zero per-step H2D traffic;
+    # a full DFAUST train split is ~2.7 GB, well within one chip's HBM).
+    # 'auto' = on whenever the sources are arrays and the total fits the
+    # budget below; True forces it (error if unsupported); False = host
+    # pipeline (per-step take + normalize + transfer)
+    device_resident: Any = "auto"
+    device_resident_max_gb: float = 6.0
     asset_dir: str = "data/asset"
     # synthetic fallback when no DFAUST data present (tests / benches)
     synthetic: bool = False

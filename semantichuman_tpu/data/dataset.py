@@ -131,10 +131,11 @@ def compute_stats(train_verts, test_verts, normalization: str) -> ShapeStats:
     if "gass" in normalization:
         s.mean = np.mean(train_verts, axis=0)
         std = np.std(train_verts, axis=0)
-        # zero-variance coordinates (possible on synthetic templates; never
-        # on DFAUST, so the reference divides unguarded) would normalize to
-        # ±inf — map them to the identity scale instead
-        s.std = np.where(std == 0, 1.0, std)
+        # (near-)zero-variance coordinates (possible on synthetic templates;
+        # never on DFAUST, so the reference divides unguarded) would blow up
+        # to ±inf / float-noise amplified by 1/std — map them to the
+        # identity scale instead (1e-8 m is far below any real mesh std)
+        s.std = np.where(std < 1e-8, 1.0, std)
     if "normal" in normalization:
         # 'normal' is an eval-time mode: per-sample per-axis bbox stats
         # of the TEST split, indexed by test-sample id (reference:
@@ -234,7 +235,10 @@ class BatchLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def __iter__(self):
+    def iter_indices(self):
+        """The batch SCHEDULE only: yields {global_idx, pad, valid} dicts
+        (global, un-sliced) without touching the data — the device-resident
+        pipeline (data.device_data) materializes batches from these."""
         n = len(self.source)
         order = np.arange(n)
         if self.shuffle:
@@ -250,6 +254,12 @@ class BatchLoader:
             valid = np.ones(len(idx), np.float32)
             if pad:
                 valid[-pad:] = 0.0
+            yield {"global_idx": idx, "pad": pad, "valid": valid}
+
+    def __iter__(self):
+        for meta in self.iter_indices():
+            idx, valid = meta["global_idx"], meta["valid"]
+            pad = meta["pad"]
             global_idx = idx
             if self.process_slice is not None:
                 r, w = self.process_slice
@@ -306,18 +316,70 @@ def place_batch(batch: dict, sharding=None) -> dict:
     return {**arrays, **rest}
 
 
-def prefetch_to_device(iterator, size: int = 2, sharding=None):
+def prefetch_to_device(iterator, size: int = 2, sharding=None,
+                       threaded: bool = True):
     """Stage `size` batches ahead on device.  With a `sharding`, batches are
-    laid out across the data-parallel mesh as they land."""
-    import collections
+    laid out across the data-parallel mesh as they land.
 
-    def put(batch):
-        return place_batch(batch, sharding)
+    A background worker thread drives the host work (memmap reads,
+    normalization, dummy append — the reference covers this with
+    DataLoader(num_workers=4), main.py:213-237) AND the async H2D copy, so
+    both overlap device compute instead of sitting on the critical path
+    between steps.  numpy kernels and device transfers release the GIL, so
+    one thread suffices at these batch sizes.  `threaded=False` (or
+    size=0) falls back to inline staging."""
+    if not threaded or size <= 0:
+        import collections
 
-    queue = collections.deque()
-    for batch in iterator:
-        queue.append(put(batch))
-        if len(queue) >= size:
+        queue = collections.deque()
+        for batch in iterator:
+            queue.append(place_batch(batch, sharding))
+            if len(queue) >= max(size, 1):
+                yield queue.popleft()
+        while queue:
             yield queue.popleft()
-    while queue:
-        yield queue.popleft()
+        return
+
+    import queue as queue_mod
+    import threading
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    stop = threading.Event()
+    sentinel = object()
+    errors: list[BaseException] = []
+
+    def worker():
+        try:
+            for batch in iterator:
+                staged = place_batch(batch, sharding)
+                while not stop.is_set():
+                    try:
+                        q.put(staged, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # surface loader errors to the consumer
+            errors.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue_mod.Full:
+                    continue
+
+    t = threading.Thread(target=worker, name="sh-tpu-prefetch", daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        # consumer abandoned the generator (break/close): release the worker
+        stop.set()

@@ -49,6 +49,7 @@ class Trainer:
         self.process_index = jax.process_index()
         self._is_main = self.process_index == 0
         self.process_slice = None
+        self.device_data = None
         if cfg.train.data_parallel and self.n_processes > 1:
             self.process_slice = (self.process_index, self.n_processes)
         for sub in ("checkpoints", "summaries", "samples", "predictions"):
@@ -159,6 +160,7 @@ class Trainer:
                 self.batch_shard = batch_sharding(self.mesh)
                 self.params = put_replicated(self.params, self.mesh)
                 self.opt_state = put_replicated(self.opt_state, self.mesh)
+        self._maybe_stage_device_data()
 
         self.sampler = EditSampler(
             edit_mode=cfg.train.edit_mode, rand_mode=cfg.train.rand_mode,
@@ -263,6 +265,49 @@ class Trainer:
         self.test_loader = BatchLoader(
             self.data["test"], t.batch_test, shuffle=False, seed=0,
             pad_final=True, **common)
+
+    def _maybe_stage_device_data(self):
+        """Stage array-backed splits into device HBM and swap the loaders
+        for on-device batch materialization (data.device_data) — zero
+        per-step host→device traffic.  cfg.data.device_resident: True /
+        False / 'auto' (on when everything fits the byte budget)."""
+        mode = self.cfg.data.device_resident
+        if mode is False or mode == "false":
+            return
+        loaders = {"train": self.train_loader, "interp": self.interp_loader,
+                   "val": self.val_loader, "test": self.test_loader}
+        sources = {id(ld.source): ld.source for ld in loaders.values()}
+        supported = all(isinstance(s, ArraySource) for s in sources.values())
+        total = sum(int(np.prod(s.verts.shape)) * 4
+                    + (0 if s.measures is None
+                       else int(np.prod(s.measures.shape)) * 4)
+                    for s in sources.values())
+        budget = float(self.cfg.data.device_resident_max_gb) * 1e9
+        if not supported or total > budget:
+            if mode is True or mode == "true":
+                raise ValueError(
+                    "data.device_resident=True but the dataset cannot be "
+                    f"staged (array-backed={supported}, bytes={total:.3g} "
+                    f"vs budget {budget:.3g}) — use the per-sample file "
+                    "layout with device_resident=false, or raise "
+                    "data.device_resident_max_gb")
+            return
+        from ..data.device_data import DeviceBatchLoader, DeviceDataSource
+        staged = {
+            sid: DeviceDataSource(
+                src.verts, src.measures, self.cfg.data.normalization,
+                j_regressor=self.assets.j_regressor, stats=self.stats,
+                mesh=self.mesh, batch_shard=self.batch_shard)
+            for sid, src in sources.items()}
+        self.device_data = staged
+        self.train_loader = DeviceBatchLoader(
+            self.train_loader, staged[id(self.train_loader.source)])
+        self.interp_loader = DeviceBatchLoader(
+            self.interp_loader, staged[id(self.interp_loader.source)])
+        self.val_loader = DeviceBatchLoader(
+            self.val_loader, staged[id(self.val_loader.source)])
+        self.test_loader = DeviceBatchLoader(
+            self.test_loader, staged[id(self.test_loader.source)])
 
     # --- checkpoint -------------------------------------------------------------
     def _ckpt_dir(self):

@@ -120,6 +120,53 @@ def test_prefetch_to_device(meshes):
     assert isinstance(out[0]["verts"], jax.Array)
 
 
+def test_prefetch_threaded_matches_inline(meshes):
+    """The background-worker pipeline yields exactly the inline batches, in
+    order (the host take+normalize work moves off the step critical path —
+    reference equivalent: DataLoader(num_workers=4), main.py:213-237)."""
+    src = ArraySource(meshes)
+
+    def batches():
+        return iter(BatchLoader(src, 4, shuffle=True, seed=7))
+
+    inline = list(prefetch_to_device(batches(), size=2, threaded=False))
+    threaded = list(prefetch_to_device(batches(), size=2, threaded=True))
+    assert len(inline) == len(threaded)
+    for a, b in zip(inline, threaded):
+        np.testing.assert_array_equal(np.asarray(a["verts"]),
+                                      np.asarray(b["verts"]))
+        np.testing.assert_array_equal(a["idx"], b["idx"])
+
+
+def test_prefetch_threaded_propagates_errors(meshes):
+    def boom():
+        yield {"verts": meshes[:2], "idx": np.arange(2)}
+        raise RuntimeError("loader exploded")
+
+    it = prefetch_to_device(boom(), size=2, threaded=True)
+    next(it)
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        list(it)
+
+
+def test_prefetch_threaded_early_abandon(meshes):
+    """Breaking out of the generator must release the worker thread (no
+    hang on a full queue)."""
+    import threading
+
+    n_before = threading.active_count()
+    src = ArraySource(meshes)
+    it = prefetch_to_device(iter(BatchLoader(src, 2)), size=1, threaded=True)
+    next(it)
+    it.close()
+    import time
+    for _ in range(50):                      # worker exits within 5 s
+        if threading.active_count() <= n_before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= n_before
+
+
 def test_normalize_normal_mode(meshes):
     """Per-sample per-axis bbox normalization ('normal', an eval-time mode:
     stats indexed by sample id — reference shape_data.py:44-47)."""
