@@ -11,8 +11,14 @@ SMPL-topology meshes, and prints ONE JSON line:
 
 The baseline denominator is benchmarks/torch_baseline.py — the reference's
 own computational recipe (dense D/U matmuls, per-part Linear loops,
-train_funcs.py-style step) measured on this host's CPU and cached in
-benchmarks/torch_cpu_baseline.json.
+train_funcs.py-style step; it times the rec-loss-only fwd+bwd+Adam, so the
+ratio is conservative: the JAX numerator runs every loss branch) measured
+on this host's CPU and cached in benchmarks/torch_cpu_baseline.json.
+
+The JSON line also carries a "roofline" object (XLA's own cost analysis of
+the compiled step → achieved TFLOP/s and HBM GB/s vs the chip's peaks, plus
+the spiral sizes that set the gather traffic) and a "sweep" object with a
+B ∈ {64, 128, 256} throughput sweep (disable with SH_TPU_BENCH_SWEEP=0).
 """
 
 from __future__ import annotations
@@ -30,6 +36,46 @@ sys.path.insert(0, REPO)
 BATCH = int(os.environ.get("SH_TPU_BENCH_BATCH", "128"))
 ITERS = int(os.environ.get("SH_TPU_BENCH_ITERS", "20"))
 WARMUP = int(os.environ.get("SH_TPU_BENCH_WARMUP", "3"))
+# sweep defaults on only for the headline batch, so the fast variant
+# (SH_TPU_BENCH_BATCH=8 ...) stays fast
+SWEEP = os.environ.get("SH_TPU_BENCH_SWEEP",
+                       "1" if BATCH == 128 else "0") == "1"
+
+# Peak specs per device kind (bf16 matmul TFLOP/s, HBM GB/s).  Sources:
+# public TPU spec sheets; used only to contextualize achieved rates.
+_CHIP_PEAKS = {
+    "TPU v4": (275.0, 1228.0),
+    "TPU v5 lite": (197.0, 819.0),
+    "TPU v5e": (197.0, 819.0),
+    "TPU v5p": (459.0, 2765.0),
+    "TPU v6 lite": (918.0, 1640.0),
+    "TPU v6e": (918.0, 1640.0),
+}
+
+
+def _peaks(device) -> tuple:
+    kind = getattr(device, "device_kind", "")
+    for key, val in _CHIP_PEAKS.items():
+        if key.lower() in kind.lower():
+            return kind, val
+    return kind, (None, None)
+
+
+def _timed(step, params, opt_state, batch, interp, exc, edit_spec,
+           iters, warmup):
+    """Run the step warmup+iters times; return (seconds/step, metrics)."""
+    import jax
+
+    for _ in range(warmup):
+        params, opt_state, metrics = step(params, opt_state, batch, interp,
+                                          exc, edit_spec)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, metrics = step(params, opt_state, batch, interp,
+                                          exc, edit_spec)
+    jax.block_until_ready(metrics)
+    return (time.perf_counter() - t0) / iters, metrics
 
 
 def main():
@@ -60,29 +106,83 @@ def main():
                            exc_variant="ori")
 
     sampler = EditSampler(seed=0)
-    edit_spec = sampler.sample_interp(epoch=200, batch_size=BATCH)
-    batch = {k: jax.device_put(v)
-             for k, v in _host_batch(sh, BATCH, seed=0).items()}
-    interp = {k: jax.device_put(v)
-              for k, v in _host_batch(sh, BATCH, seed=1).items()}
-    exc = {k: jax.device_put(v)
-           for k, v in _host_batch(sh, BATCH, seed=2).items()}
 
-    for _ in range(WARMUP):
-        params, opt_state, metrics = step(params, opt_state, batch, interp,
-                                          exc, edit_spec)
-    jax.block_until_ready(metrics)
+    def batches(bsz):
+        spec = sampler.sample_interp(epoch=200, batch_size=bsz)
+        bs = [{k: jax.device_put(v)
+               for k, v in _host_batch(sh, bsz, seed=s).items()}
+              for s in range(3)]
+        return bs[0], bs[1], bs[2], spec
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, opt_state, metrics = step(params, opt_state, batch, interp,
-                                          exc, edit_spec)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-    mps = BATCH * ITERS / dt
+    batch, interp, exc, edit_spec = batches(BATCH)
+
+    # AOT-compile the headline shape once: the compiled object serves both
+    # the timing loop and XLA's own cost analysis (flops / bytes accessed).
+    timed_step, flops, bytes_acc = step, None, None
+    try:
+        compiled = step.lower(params, opt_state, batch, interp, exc,
+                              edit_spec).compile()
+        timed_step = compiled
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+        bytes_acc = float(ca.get("bytes accessed", float("nan")))
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    sec_per_step, metrics = _timed(timed_step, params, opt_state, batch,
+                                   interp, exc, edit_spec, ITERS, WARMUP)
+    mps = BATCH / sec_per_step
 
     loss = float(metrics["loss"])
     assert np.isfinite(loss), f"non-finite loss {loss}"
+
+    kind, (peak_tflops, peak_gbs) = _peaks(jax.devices()[0])
+    roofline = {
+        "device_kind": kind, "batch": BATCH,
+        "spiral_sizes": [int(s.shape[-1])
+                         for s in getattr(hier, "spirals", [])] or None,
+    }
+    if flops and np.isfinite(flops):
+        ach_tflops = flops / sec_per_step / 1e12
+        roofline.update(
+            step_gflops=round(flops / 1e9, 1),
+            gflops_per_mesh=round(flops / BATCH / 1e9, 3),
+            achieved_tflops=round(ach_tflops, 2),
+            peak_bf16_tflops=peak_tflops,
+            mfu_pct=round(100 * ach_tflops / peak_tflops, 2)
+            if peak_tflops else None)
+    if bytes_acc and np.isfinite(bytes_acc):
+        # XLA cost-analysis bytes count every op's operands, including
+        # reads served from on-chip reuse inside fusions — an UPPER bound
+        # on true HBM traffic.  A rate above the HBM peak therefore means
+        # significant on-chip reuse, not a measurement of HBM saturation.
+        ach_gbs = bytes_acc / sec_per_step / 1e9
+        roofline.update(
+            xla_step_gb_accessed=round(bytes_acc / 1e9, 2),
+            xla_bytes_rate_gbs=round(ach_gbs, 1),
+            peak_hbm_gbs=peak_gbs,
+            note="xla bytes-accessed overcounts HBM traffic (fusion "
+                 "reuse); rate above peak_hbm_gbs = on-chip reuse")
+
+    # --- batch-size sweep ----------------------------------------------------
+    sweep = {}
+    if SWEEP:
+        sweep[str(BATCH)] = round(mps, 2)
+        for bsz in (64, 128, 256):
+            if bsz == BATCH or str(bsz) in sweep:
+                continue
+            try:
+                b, i2, e2, spec = batches(bsz)
+                p2 = model.init(0)
+                o2 = optimizer.init(p2)
+                spt, m2 = _timed(step, p2, o2, b, i2, e2, spec,
+                                 max(4, ITERS // 2), max(1, WARMUP - 1))
+                assert np.isfinite(float(m2["loss"]))
+                sweep[str(bsz)] = round(bsz / spt, 2)
+            except Exception as e:
+                print(f"# sweep B={bsz} failed: {e}", file=sys.stderr)
 
     # --- PyTorch-CPU reference-recipe denominator ---------------------------
     vs = None
@@ -98,7 +198,10 @@ def main():
 
     out = {"metric": "train_meshes_per_sec_per_chip",
            "value": round(mps, 2), "unit": "meshes/s",
-           "vs_baseline": round(vs, 2) if vs is not None else None}
+           "vs_baseline": round(vs, 2) if vs is not None else None,
+           "roofline": roofline}
+    if sweep:
+        out["sweep_meshes_per_sec_by_batch"] = sweep
     print(json.dumps(out))
 
 

@@ -45,69 +45,79 @@ W = 16  # DMA in-flight window
 
 
 def _gather_kernel(idx_ref, x_ref, o_ref, sem, *, rows_per_prog: int):
-    """o[k] = x[idx[k]] for k in this program's row range; windowed DMAs."""
+    """o[k] = x[idx[k]] for k in this program's row range; windowed DMAs.
+
+    x/o are [N, SUB, 128] — each logical row reshaped to whole (8,128)
+    tiles, since HBM memref slices must be tile-aligned (a [1, D] slice of
+    a 2-D buffer is rejected: 'must be aligned to tiling (8)')."""
     base = pl.program_id(0) * rows_per_prog
 
     def dma(k, slot):
         return pltpu.make_async_copy(x_ref.at[idx_ref[k]], o_ref.at[k],
                                      sem.at[slot])
 
-    def issue(i, _):
+    def issue(i, carry):
         k = base + i
 
         @pl.when(i >= W)
-        def _():
+        def _wait():
             dma(k - W, i % W).wait()
 
         dma(k, i % W).start()
-        return _
+        return carry
 
     jax.lax.fori_loop(0, rows_per_prog, issue, 0, unroll=False)
 
-    def drain(i, _):
+    def drain(i, carry):
         k = base + rows_per_prog - W + i
 
         @pl.when(k >= base)
-        def _():
+        def _wait():
             dma(k, (rows_per_prog - W + i) % W).wait()
 
-        return _
+        return carry
 
     jax.lax.fori_loop(0, W, drain, 0, unroll=False)
 
 
 def dma_gather(x: jnp.ndarray, idx: jnp.ndarray,
                rows_per_prog: int = 1024) -> jnp.ndarray:
-    """x [N, D] (packed rows), idx [M] int32 -> out [M, D] via per-row DMA."""
+    """x [N, D] (packed rows), idx [M] int32 -> out [M, D] via per-row DMA.
+    D must be a multiple of 1024 (f32 (8,128) whole-tile rows)."""
     m = idx.shape[0]
+    n, d = x.shape
     assert m % rows_per_prog == 0, (m, rows_per_prog)
+    assert d % 1024 == 0, d
+    sub = d // 128
     grid = (m // rows_per_prog,)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_gather_kernel, rows_per_prog=rows_per_prog),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((W,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((m, x.shape[1]), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, sub, 128), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(idx, x)
+    )(idx, x.reshape(n, sub, 128))
+    return out.reshape(m, d)
 
 
 def _csr_reduce_kernel(offs_ref, cols_ref, g_ref, o_ref, acc, sem,
-                       *, rows_per_prog: int, d: int):
+                       *, rows_per_prog: int, sub: int):
     """o[u] = sum_{j in [offs[u], offs[u+1])} g[cols[j]] — the scatter-free
-    backward: windowed DMA the cotangent rows into VMEM slots, accumulate."""
+    backward: windowed DMA the cotangent rows into VMEM slots, accumulate.
+    g is [M, SUB, 128] (tile-aligned rows); acc [W, SUB, 128]."""
     base = pl.program_id(0) * rows_per_prog
 
     def dma(j, slot):
         return pltpu.make_async_copy(g_ref.at[cols_ref[j]], acc.at[slot],
                                      sem.at[slot])
 
-    def row(u_local, _):
+    def row(u_local, carry0):
         u = base + u_local
         lo = offs_ref[u]
         hi = offs_ref[u + 1]
@@ -117,11 +127,11 @@ def _csr_reduce_kernel(offs_ref, cols_ref, g_ref, o_ref, acc, sem,
             start, total = carry
             n = jnp.minimum(hi - start, W)
 
-            def st(i, _):
+            def st(i, c):
                 @pl.when(i < n)
-                def _():
+                def _start():
                     dma(start + i, i).start()
-                return _
+                return c
 
             jax.lax.fori_loop(0, W, st, 0)
 
@@ -137,44 +147,61 @@ def _csr_reduce_kernel(offs_ref, cols_ref, g_ref, o_ref, acc, sem,
 
         total = jax.lax.while_loop(
             lambda c: c[0] < hi, chunk,
-            (lo, jnp.zeros((1, d), jnp.float32)))[1]
-        o_ref[pl.ds(u_local, 1), :] = total
-        return _
+            (lo, jnp.zeros((sub, 128), jnp.float32)))[1]
+        o_ref[u_local] = total
+        return carry0
 
     jax.lax.fori_loop(0, rows_per_prog, row, 0, unroll=False)
 
 
 def dma_csr_reduce(g: jnp.ndarray, offs: jnp.ndarray, cols: jnp.ndarray,
                    n_out: int, rows_per_prog: int = 128) -> jnp.ndarray:
-    d = g.shape[1]
+    m, d = g.shape
     assert n_out % rows_per_prog == 0, (n_out, rows_per_prog)
-    return pl.pallas_call(
+    assert d % 1024 == 0, d
+    sub = d // 128
+    out = pl.pallas_call(
         functools.partial(_csr_reduce_kernel, rows_per_prog=rows_per_prog,
-                          d=d),
+                          sub=sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_out // rows_per_prog,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (rows_per_prog, d), lambda i, *_: (i, 0),
+                (rows_per_prog, sub, 128), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((W, 1, d), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((W, sub, 128), jnp.float32),
                             pltpu.SemaphoreType.DMA((W,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_out, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, sub, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(offs, cols, g)
+    )(offs, cols, g.reshape(m, sub, 128))
+    return out.reshape(n_out, d)
 
 
-def bench(fn, *args, iters=20):
-    out = fn(*args)
+def bench_chained(fn, idx_like, iters=20):
+    """Time `iters` executions of fn(idx_like) with a data dependency chained
+    through the int index array (cheap: <1 MB copy/iter), so iterations
+    cannot overlap regardless of the platform's dispatch behavior.  fn must
+    return an array; out[0, 0] feeds the next iteration's indices."""
+
+    @jax.jit
+    def loop(idx0):
+        def body(_, carry):
+            idx_c, acc = carry
+            out = fn(idx_c)
+            bump = (out[0, 0] * 0).astype(idx_c.dtype)
+            return (idx_c + bump, acc + out[0, 0].astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, iters, body, (idx0, jnp.float32(0.0)))
+
+    out = loop(idx_like)  # compile + warm
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    out = loop(idx_like)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, out
+    return (time.perf_counter() - t0) / iters, fn(idx_like)
 
 
 def main():
@@ -209,10 +236,11 @@ def main():
                "gathered_mb": round(m * d * 4 / 1e6, 1)}
 
     # --- forward: XLA take vs DMA gather -----------------------------------
-    xla_take = jax.jit(lambda x, i: jnp.take(x, i, axis=0))
-    t_xla, ref = bench(xla_take, x, idx, iters=args.iters)
+    t_xla, ref = bench_chained(lambda i: jnp.take(x, i, axis=0), idx,
+                               iters=args.iters)
     try:
-        t_dma, got = bench(jax.jit(dma_gather), x, idx, iters=args.iters)
+        t_dma, got = bench_chained(lambda i: dma_gather(x, i), idx,
+                                   iters=args.iters)
         ok = bool(jnp.allclose(got, ref))
         results.update(fwd_xla_ms=round(t_xla * 1e3, 2),
                        fwd_dma_ms=round(t_dma * 1e3, 2),
@@ -223,11 +251,11 @@ def main():
                        fwd_dma_error=repr(e)[:300])
 
     # --- backward: XLA scatter-add VJP vs DMA CSR reduce ---------------------
-    def take_sum(x):
-        return jnp.sum(jnp.take(x, idx, axis=0) * 0.5)
+    def take_sum(x, i):
+        return jnp.sum(jnp.take(x, i, axis=0) * 0.5)
 
-    xla_bwd = jax.jit(jax.grad(take_sum))
-    t_xlab, dref = bench(xla_bwd, x, iters=args.iters)
+    t_xlab, dref = bench_chained(
+        lambda i: jax.grad(take_sum)(x, i), idx, iters=args.iters)
 
     # CSR inverse: for each source row u, the list of flat positions k
     order = np.argsort(idx_flat, kind="stable")
@@ -239,10 +267,10 @@ def main():
     offs_pad = np.concatenate(
         [offs, np.full(n_out + 1 - offs.size, offs[-1], np.int32)])
     try:
-        t_dmab, got = bench(
-            jax.jit(lambda g: dma_csr_reduce(g, jnp.asarray(offs_pad),
-                                             jnp.asarray(cols), n_out)),
-            g, iters=args.iters)
+        offs_j = jnp.asarray(offs_pad)
+        t_dmab, got = bench_chained(
+            lambda c: dma_csr_reduce(g, offs_j, c, n_out),
+            jnp.asarray(cols), iters=args.iters)
         ok = bool(jnp.allclose(got[:v1], dref, rtol=1e-5, atol=1e-5))
         results.update(bwd_xla_ms=round(t_xlab * 1e3, 2),
                        bwd_dma_ms=round(t_dmab * 1e3, 2),

@@ -7,10 +7,21 @@ gathered dimension and fails with "Multiple source vregs along gather
 dimension" for any real vertex count.  Measured alternatives:
 
   * XLA's native gather+matmul (ops/spiral_conv.py): ~10 ms for the
-    B=128 level-0 gather — close to HBM bandwidth.
+    B=128 level-0 gather — the production path.
   * inverse-table backward (scatter->gather conversion): 51 ms vs XLA's
     scatter at 38 ms — the inverse table's K_max (~2x mean spiral length)
     doubles read volume; rejected.
+  * scalar-prefetch + per-row async-DMA gather (the embedding-lookup
+    idiom; benchmarks/pallas_dma_gather_probe.py, r2): indices in SMEM,
+    one windowed make_async_copy per gathered row, x packed [V1, B*C] so
+    each row is one contiguous 8 KB copy (rows reshaped [V1, SUB, 128] —
+    HBM slices must be whole (8,128) tiles).  Correct, but ISSUE-RATE
+    bound: 103k rows in 9.94 ms ≈ 96 ns/descriptor ≈ 108 GB/s, vs XLA's
+    take at 7.12 ms (160 GB/s) on the same packed layout → 0.72x fwd.
+    The matching scatter-free CSR backward: 10.61 ms vs XLA's scatter-add
+    VJP 11.27 ms → 1.06x, below the 1.2x accept bar.  Per-row DMA cannot
+    beat XLA's gather at spiral-conv row sizes (it would need ≥32 KB rows
+    to amortize descriptor issue); question closed.
 
 So `spiral_conv_auto` PROBES this kernel once per process on tiny shapes
 and transparently falls back to the XLA path when Mosaic rejects it; if a
