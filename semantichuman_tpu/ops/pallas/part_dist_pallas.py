@@ -1,0 +1,355 @@
+"""Fused Pallas kernel for the weighted intra-part distance loss.
+
+The jnp formulation (train/losses.py:weighted_distance_loss, mirroring
+reference train_funcs.py:243-284/353-389) materializes several [B, n, n]
+tensors per part in HBM — measured 72.9 ms of the 246 ms full train step at
+B=128 (benchmarks/step_breakdown.py), the largest cost outside the conv
+trunk.  This kernel keeps every [n, n] tile VMEM-resident: one grid program
+per (part, batch-element) computes GT distances, orientation weights, and
+the masked reconstruction-distance sums in one pass, emitting only two
+scalars (term sum, mask count).  HBM traffic collapses from O(B·Σn²) to
+O(B·Σn).
+
+Gradients flow ONLY to the reconstruction (`rp`): GT vertices, bones and
+edit factors are training data, so the custom VJP recomputes the tile and
+contracts the coefficient matrix against rp rows on the MXU:
+
+    d_rp = 2 · (rp · rowsum(coef) − coef @ rp),   coef[j,k] = g[j,k]/de_r[j,k]
+
+— no scatter, one matmul per tile.
+
+Numerical divergence from the jnp path (documented, strictly safer): where
+the mask admits a pair whose reconstructed distance is exactly 0, the jnp
+path's sqrt yields an inf/NaN gradient; here the pair's gradient
+contribution is 0.
+
+Layout: vertices ride as [n_pad, 128] tiles with xyz in lanes 0-2 (lanes
+3+ zero), so pair distances come from one vp @ vpᵀ MXU pass and the bone
+projection from one skinny matmul; per-program scalars (true n,
+uniform-weight flag, edit factor, VJP cotangent) ride in SMEM via scalar
+prefetch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...constants import LEAF_PART_INDICES
+
+_LANES = 128
+_INTERPRET = False  # tests flip this on CPU
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# arcsin Taylor coefficients Σ c_n t^(2n+1), converged to f32 eps on
+# t ∈ [0, 0.5] (Mosaic has no acos/asin primitive)
+_ASIN_C = (1.0, 1.0 / 6.0, 0.075, 0.04464286, 0.03038194, 0.02237216,
+           0.01735276, 0.01396484)
+
+
+def _acos01(x):
+    """arccos for x ∈ [0, 1] to ~f32 accuracy: range-reduce via
+    arccos(x) = 2·arcsin(√((1−x)/2)) for x > 0.5, arcsin Taylor core."""
+    small = x <= 0.5
+    t = jnp.where(small, x, jnp.sqrt(jnp.maximum((1.0 - x) * 0.5, 0.0)))
+    t2 = t * t
+    p = _ASIN_C[-1]
+    for c in _ASIN_C[-2::-1]:
+        p = c + t2 * p
+    asin_t = t * p
+    return jnp.where(small, jnp.pi / 2.0 - asin_t, 2.0 * asin_t)
+
+
+def _pair_dists(v):
+    """v [n, 128] (xyz in lanes 0-2, rest zero) -> [n, n] distances."""
+    r = jnp.sum(v * v, axis=1, keepdims=True)              # [n, 1]
+    inner = jax.lax.dot_general(
+        v, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [n, n]
+    d2 = jax.nn.relu(r - 2.0 * inner + jnp.transpose(r))
+    return jnp.sqrt(d2)
+
+
+def _weights_de_mask(vp, bone, n_real, allone, a, *, n_pad: int,
+                     w_mode: str, w_threshold: float):
+    """Forward tile shared by fwd/bwd kernels: (w, de, mask).
+
+    Replicates losses._distance_weights + the de/mask construction: angles
+    from |cos| = |s_j − s_k| / (de0 · ‖bone‖) with the 0/0→1 guard; the
+    diagonal, padding rows/cols, and (w·de)==0 entries all masked.
+    """
+    de0 = _pair_dists(vp)                                   # [n, n]
+    if w_mode == "all_one":
+        w = jnp.ones((n_pad, n_pad), jnp.float32)
+    else:
+        s = jax.lax.dot_general(
+            vp, bone, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [n, 1]
+        dot = s - jnp.transpose(s)
+        bn = jnp.sqrt(jnp.sum(bone * bone))
+        denom = de0 * bn
+        cos = jnp.where(denom > 0.0,
+                        jnp.abs(dot) / jnp.where(denom > 0.0, denom, 1.0),
+                        1.0)
+        cos = jnp.clip(cos, 0.0, 1.0)
+        if w_mode == "sin":
+            # sin(arccos(c)) == sqrt(1 − c²) exactly — no acos needed
+            w = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
+        elif w_mode in ("linear", "threshold"):
+            w = _acos01(cos) * (2.0 / jnp.pi)       # == ang/90
+            if w_mode == "threshold":
+                w = jnp.where(w < w_threshold, 0.0, w)
+        else:
+            raise ValueError(f"unknown w_mode {w_mode!r}")
+        # leaf parts (leafkeep) use uniform weights
+        w = jnp.where(allone > 0, jnp.ones_like(w), w)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    valid = (rows != cols) & (rows < n_real) & (cols < n_real)
+    w = jnp.where(valid, w, 0.0)
+    de = de0 * a
+    mask = (w * de) != 0.0
+    return w, de, mask
+
+
+def _fwd_kernel(n_real_ref, allone_ref, a_ref, vp_ref, rp_ref, bone_ref,
+                out_ref, *, n_pad: int, w_mode: str, w_threshold: float,
+                relat: bool):
+    i = pl.program_id(0)
+    vp = vp_ref[0]                                          # [n_pad, 128]
+    rp = rp_ref[0]
+    bone = bone_ref[0][0:1, :]                              # [1, 128]
+    w, de, mask = _weights_de_mask(vp, bone, n_real_ref[i], allone_ref[i],
+                                   a_ref[i], n_pad=n_pad, w_mode=w_mode,
+                                   w_threshold=w_threshold)
+    de_r = jnp.where(mask, _pair_dists(rp), 0.0)
+    if relat:
+        de_safe = jnp.where(mask, de, 1.0)
+        term = jnp.abs(w * (de_r / de_safe) - w)
+    else:
+        term = jnp.abs(w * de_r - w * de)
+    term = jnp.where(mask, term, 0.0)
+    # scalars land in a full [8, 128] tile: (0,0)=term sum, (0,1)=count
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+    tile = jnp.where((rows == 0) & (cols == 0), jnp.sum(term), 0.0)
+    tile = jnp.where((rows == 0) & (cols == 1),
+                     jnp.sum(mask.astype(jnp.float32)), tile)
+    out_ref[0] = tile
+
+
+def _bwd_kernel(n_real_ref, allone_ref, a_ref, ct_ref, vp_ref, rp_ref,
+                bone_ref, drp_ref, *, n_pad: int, w_mode: str,
+                w_threshold: float, relat: bool):
+    i = pl.program_id(0)
+    vp = vp_ref[0]
+    rp = rp_ref[0]
+    bone = bone_ref[0][0:1, :]
+    w, de, mask = _weights_de_mask(vp, bone, n_real_ref[i], allone_ref[i],
+                                   a_ref[i], n_pad=n_pad, w_mode=w_mode,
+                                   w_threshold=w_threshold)
+    de_r = _pair_dists(rp)
+    if relat:
+        de_safe = jnp.where(mask, de, 1.0)
+        g = (w / de_safe) * jnp.sign(w * (de_r / de_safe) - w)
+    else:
+        g = w * jnp.sign(w * de_r - w * de)
+    g = jnp.where(mask, g * ct_ref[i], 0.0)
+    # d de_r[j,k] / d rp[j] = (rp[j]−rp[k]) / de_r[j,k]; g is symmetric, so
+    # d_rp[j] = 2 Σ_k (g/de_r)[j,k] (rp[j]−rp[k])
+    coef = jnp.where(de_r > 0.0, g / jnp.where(de_r > 0.0, de_r, 1.0), 0.0)
+    rowsum = jnp.sum(coef, axis=1, keepdims=True)           # [n, 1]
+    mixed = jax.lax.dot_general(
+        coef, rp, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [n, 128]
+    drp_ref[0] = 2.0 * (rp * rowsum - mixed)
+
+
+def _expand_scalars(a_stack, n_real, allone, batch):
+    n_real_e = jnp.repeat(jnp.asarray(n_real, jnp.int32), batch)
+    allone_e = jnp.repeat(jnp.asarray(allone, jnp.int32), batch)
+    a_e = jnp.asarray(a_stack, jnp.float32).reshape(-1)     # [P*B]
+    return n_real_e, allone_e, a_e
+
+
+def _tile_specs(n_pad):
+    tile = pl.BlockSpec((1, n_pad, _LANES), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    # bone rides an (8, 128) tile per program (Mosaic block shapes must be
+    # whole (8, 128) tiles); only row 0 carries data
+    bone = pl.BlockSpec((1, 8, _LANES), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return tile, bone
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def part_dist_sums(vp_stack, rp_stack, bone_stack, a_stack, n_real, allone,
+                   w_mode: str, w_threshold: float, relat: bool):
+    """Fused per-(part, batch) masked distance-term/count sums.
+
+    vp_stack/rp_stack [P*B, n_pad, 128] f32 (xyz in lanes 0-2, zero
+    elsewhere; rows past a part's true size arbitrary); bone_stack
+    [P*B, 128] (xyz in lanes 0-2); a_stack [P, B] f32; n_real [P] int32;
+    allone [P] int32 (1 = uniform weights).  Returns [P*B, 2]:
+    (Σ masked term, Σ mask).  Gradients flow to rp_stack only.
+    """
+    return _fwd_call(vp_stack, rp_stack, bone_stack, a_stack, n_real,
+                     allone, w_mode, w_threshold, relat)
+
+
+def _fwd_call(vp_stack, rp_stack, bone_stack, a_stack, n_real, allone,
+              w_mode, w_threshold, relat):
+    g, n_pad, _ = vp_stack.shape
+    batch = g // n_real.shape[0]
+    n_real_e, allone_e, a_e = _expand_scalars(a_stack, n_real, allone, batch)
+    tile, bone = _tile_specs(n_pad)
+    kern = functools.partial(_fwd_kernel, n_pad=n_pad, w_mode=w_mode,
+                             w_threshold=w_threshold, relat=relat)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(g,),
+            in_specs=[tile, tile, bone],
+            out_specs=pl.BlockSpec((1, 8, _LANES), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, 8, _LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
+    )(n_real_e, allone_e, a_e, vp_stack, rp_stack, bone_stack)
+    return out[:, 0, :2]
+
+
+def _vjp_fwd(vp_stack, rp_stack, bone_stack, a_stack, n_real, allone,
+             w_mode, w_threshold, relat):
+    out = _fwd_call(vp_stack, rp_stack, bone_stack, a_stack, n_real,
+                    allone, w_mode, w_threshold, relat)
+    return out, (vp_stack, rp_stack, bone_stack, a_stack, n_real, allone)
+
+
+def _vjp_bwd(w_mode, w_threshold, relat, res, ct):
+    vp_stack, rp_stack, bone_stack, a_stack, n_real, allone = res
+    g, n_pad, _ = vp_stack.shape
+    batch = g // n_real.shape[0]
+    n_real_e, allone_e, a_e = _expand_scalars(a_stack, n_real, allone, batch)
+    ct_sum = ct[:, 0].astype(jnp.float32)   # the count output carries no grad
+    tile, bone = _tile_specs(n_pad)
+    kern = functools.partial(_bwd_kernel, n_pad=n_pad, w_mode=w_mode,
+                             w_threshold=w_threshold, relat=relat)
+    drp = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(g,),
+            in_specs=[tile, tile, bone],
+            out_specs=pl.BlockSpec((1, n_pad, _LANES),
+                                   lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, n_pad, _LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
+    )(n_real_e, allone_e, a_e, ct_sum, vp_stack, rp_stack, bone_stack)
+    return None, drp, None, None, None, None
+
+
+part_dist_sums.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --- high-level wrapper -------------------------------------------------------
+
+class PartDistTables:
+    """Trace-time constants: padded part index table + per-part scalars."""
+
+    def __init__(self, part_indices, leafkeep: bool, w_mode: str):
+        sizes = [len(ix) for ix in part_indices]
+        self.n_parts = len(part_indices)
+        self.sizes = sizes
+        self.n_pad = _round_up(max(sizes), 8)
+        idx = np.zeros((self.n_parts, self.n_pad), np.int32)
+        for k, ix in enumerate(part_indices):
+            idx[k, :len(ix)] = np.asarray(ix)
+        self.idx_flat = idx.reshape(-1)
+        self.n_real = np.asarray(sizes, np.int32)
+        allone = np.zeros(self.n_parts, np.int32)
+        if w_mode == "all_one":
+            allone[:] = 1
+        elif leafkeep:
+            allone[list(LEAF_PART_INDICES)] = 1
+        self.allone = allone
+
+
+def _stack_parts(verts, idx_flat, n_parts, n_pad):
+    """[B, V, 3] -> [P*B, n_pad, 128] f32, xyz in lanes 0-2."""
+    b = verts.shape[0]
+    g = jnp.take(verts, jnp.asarray(idx_flat), axis=1)      # [B, P*n_pad, 3]
+    g = g.reshape(b, n_parts, n_pad, 3).transpose(1, 0, 2, 3)
+    g = g.reshape(n_parts * b, n_pad, 3).astype(jnp.float32)
+    return jnp.pad(g, ((0, 0), (0, 0), (0, _LANES - 3)))
+
+
+def fused_part_sums(tx_nodummy, rec_nodummy, bones, tables: PartDistTables,
+                    a_full=None, w_mode: str = "threshold",
+                    w_threshold: float = 0.8, relat: bool = True):
+    """(term_sums [P], counts [P]) matching the jnp path's per-part
+    Σ(masked term) / Σ mask.  bones [B, P, 3] per-part orientation vectors."""
+    b = tx_nodummy.shape[0]
+    p, n_pad = tables.n_parts, tables.n_pad
+    vp = _stack_parts(tx_nodummy, tables.idx_flat, p, n_pad)
+    rp = _stack_parts(rec_nodummy, tables.idx_flat, p, n_pad)
+    bone = jnp.transpose(bones, (1, 0, 2)).reshape(p * b, 3)
+    bone = jnp.pad(bone.astype(jnp.float32), ((0, 0), (0, _LANES - 3)))
+    bone = jnp.pad(bone[:, None, :], ((0, 0), (0, 7), (0, 0)))  # [P*B, 8, 128]
+    a = (jnp.ones((p, b), jnp.float32) if a_full is None
+         else jnp.transpose(a_full).astype(jnp.float32))
+    sums = part_dist_sums(vp, rp, bone, a, tables.n_real, tables.allone,
+                          w_mode, w_threshold, relat)       # [P*B, 2]
+    sums = sums.reshape(p, b, 2).sum(axis=1)
+    return sums[:, 0], sums[:, 1]
+
+
+_PROBE_RESULT: bool | None = None
+
+
+def fused_dist_available() -> bool:
+    """One-time per process: does Mosaic compile AND differentiate the
+    fused kernel at a realistic tile size on the current default backend?
+    (On CPU the non-interpret pallas_call fails and the jnp path is used.)
+
+    The body is explicitly jitted and executed: an eager pallas_call
+    evaluated while an outer jit is tracing DEFERS its lowering error to
+    the outer compile, which would make a bare probe report success on
+    backends that cannot run the kernel.
+    """
+    global _PROBE_RESULT
+    if _PROBE_RESULT is not None:
+        return _PROBE_RESULT
+    try:
+        n = 408
+        vp = jnp.zeros((2, n, _LANES), jnp.float32)
+        bone = jnp.ones((2, 8, _LANES), jnp.float32)
+        a = jnp.ones((2, 1), jnp.float32)
+        n_real = np.asarray([n - 3, n - 3], np.int32)
+        allone = np.asarray([0, 1], np.int32)
+
+        def f(rp):
+            return jnp.sum(part_dist_sums(vp, rp, bone, a, n_real, allone,
+                                          "threshold", 0.8, True)[:, 0])
+
+        jax.block_until_ready(jax.jit(jax.grad(f))(vp + 1.0))
+        _PROBE_RESULT = True
+    except Exception:
+        _PROBE_RESULT = False
+    return _PROBE_RESULT

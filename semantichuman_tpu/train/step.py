@@ -37,6 +37,9 @@ class StepFlags:
     w_mode: str = "threshold"
     w_threshold: float = 0.8
     w_part_mode: str = "1/K"
+    # None = auto: the VMEM-fused Pallas distance loss when the backend
+    # compiles it (ops.pallas.part_dist_pallas), else the jnp path
+    fused_dist: bool | None = None
     edgereg_w: float = 1e-2
     zpartreg_w: float = 1e-2
     vol_w: float = 1e-2
@@ -97,6 +100,13 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
     jreg = jnp.asarray(tables.j_regressor)
     faces = jnp.asarray(tables.faces)
     kps_keep = jnp.asarray(tables.kps_keep)
+    # resolve the fused-distance-loss choice HERE, outside any trace: the
+    # availability probe must not run while the step itself is being traced
+    # (a deferred pallas lowering error would make it misreport)
+    fused_dist = flags.fused_dist
+    if fused_dist is None:
+        from ..ops.pallas.part_dist_pallas import fused_dist_available
+        fused_dist = fused_dist_available()
 
     def loss_fn(params, batch, interp_batch, exc_batch, edit_spec):
         # The three branches (main rec, interp edit, skeleton exchange) share
@@ -175,7 +185,7 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
                     n_edited=edit_spec["n_edited"],
                     w_mode=flags.w_mode, w_threshold=flags.w_threshold,
                     w_part_mode=flags.w_part_mode, relat=flags.relat,
-                    leafkeep=flags.leafkeep)
+                    leafkeep=flags.leafkeep, fused=fused_dist)
                 loss = loss + flags.interp_euc_w * el
                 metrics["interp_euc"] = el
 
@@ -195,7 +205,7 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
                     txe[:, :-1], rec_e[:, :-1], kps_e, tables,
                     w_mode=flags.w_mode, w_threshold=flags.w_threshold,
                     w_part_mode=flags.w_part_mode, relat=flags.relat,
-                    leafkeep=flags.leafkeep)
+                    leafkeep=flags.leafkeep, fused=fused_dist)
                 loss = loss + flags.exc_euc_w * el
                 metrics["exc_euc"] = el
 

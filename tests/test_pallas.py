@@ -44,3 +44,80 @@ def test_auto_path_always_correct():
     got = spiral_conv_auto(jnp.asarray(x), jnp.asarray(idx), jnp.asarray(w),
                            jnp.asarray(bias), "elu")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+# --- fused weighted-distance loss (ops/pallas/part_dist_pallas.py) -----------
+
+@pytest.fixture()
+def _interpret_part_dist():
+    import semantichuman_tpu.ops.pallas.part_dist_pallas as PD
+    old = PD._INTERPRET
+    PD._INTERPRET = True
+    yield
+    PD._INTERPRET = old
+
+
+@pytest.fixture(scope="module")
+def _dist_case(small_human):
+    from semantichuman_tpu.train import losses as L
+    tables = L.build_loss_tables(small_human.template_faces,
+                                 small_human.J_regressor,
+                                 small_human.part_dict)
+    rng = np.random.default_rng(3)
+    tx = small_human.sample_meshes(3, seed=5).astype(np.float32)
+    rec = (tx + rng.normal(0, 0.01, tx.shape)).astype(np.float32)
+    kps = np.einsum("jv,bvd->bjd",
+                    small_human.J_regressor, tx).astype(np.float32)
+    a_full = np.ones((3, 17), np.float32)
+    edited = np.zeros(17, np.float32)
+    for p in (1, 5):
+        a_full[:, p] = 1.15
+        edited[p] = 1.0
+    return tables, tx, rec, kps, a_full, edited
+
+
+@pytest.mark.parametrize("w_mode,w_part_mode,relat,leafkeep,with_a", [
+    ("threshold", "1/K", True, True, True),
+    ("linear", "n/N", False, True, False),
+    ("sin", "1/K", True, False, True),
+    ("all_one", "1/rand_num", True, True, True),
+])
+def test_fused_dist_matches_jnp(_interpret_part_dist, _dist_case, w_mode,
+                                w_part_mode, relat, leafkeep, with_a):
+    """Fused kernel (interpret mode) == jnp path: loss value AND grad wrt
+    the reconstruction, across the w_mode x w_part_mode matrix."""
+    import jax
+    from semantichuman_tpu.train import losses as L
+    tables, tx, rec, kps, a_full, edited = _dist_case
+
+    def loss(rec_j, fused):
+        return L.weighted_distance_loss(
+            jnp.asarray(tx), rec_j, jnp.asarray(kps), tables,
+            a_full=jnp.asarray(a_full) if with_a else None,
+            edited_mask=jnp.asarray(edited), n_edited=jnp.float32(2.0),
+            w_mode=w_mode, w_threshold=0.8, w_part_mode=w_part_mode,
+            relat=relat, leafkeep=leafkeep, fused=fused)
+
+    rec_j = jnp.asarray(rec)
+    v_ref, g_ref = jax.value_and_grad(lambda r: loss(r, False))(rec_j)
+    v_fus, g_fus = jax.value_and_grad(lambda r: loss(r, True))(rec_j)
+    np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_dist_probe_false_on_cpu():
+    """The availability probe must report False on the CPU backend even when
+    called mid-trace (a deferred pallas lowering error once made it
+    misreport True from inside jit tracing, breaking every Trainer run)."""
+    import jax
+    from semantichuman_tpu.ops.pallas.part_dist_pallas import (
+        fused_dist_available)
+    assert jax.default_backend() == "cpu"
+    assert fused_dist_available() is False
+
+    def traced(_):
+        assert fused_dist_available() is False
+        return jnp.float32(0.0)
+
+    jax.jit(traced)(jnp.zeros(()))
