@@ -270,25 +270,50 @@ part_dist_sums.defvjp(_vjp_fwd, _vjp_bwd)
 
 # --- high-level wrapper -------------------------------------------------------
 
+# Largest part tile the kernel takes: [n, n] f32 working set must fit VMEM
+# with headroom (768² x 4 B = 2.25 MB per live buffer).  Bigger parts fall
+# back to the jnp formulation per part (losses.weighted_distance_loss).
+MAX_FUSED_N = 768
+
+
 class PartDistTables:
-    """Trace-time constants: padded part index table + per-part scalars."""
+    """Trace-time constants: parts grouped into equal-n_pad buckets so
+    ragged part sizes (DFAUST) don't pay the largest part's quadratic
+    padding, plus the oversize spill list."""
 
     def __init__(self, part_indices, leafkeep: bool, w_mode: str):
         sizes = [len(ix) for ix in part_indices]
         self.n_parts = len(part_indices)
         self.sizes = sizes
-        self.n_pad = _round_up(max(sizes), 8)
-        idx = np.zeros((self.n_parts, self.n_pad), np.int32)
-        for k, ix in enumerate(part_indices):
-            idx[k, :len(ix)] = np.asarray(ix)
-        self.idx_flat = idx.reshape(-1)
-        self.n_real = np.asarray(sizes, np.int32)
         allone = np.zeros(self.n_parts, np.int32)
         if w_mode == "all_one":
             allone[:] = 1
         elif leafkeep:
             allone[list(LEAF_PART_INDICES)] = 1
-        self.allone = allone
+
+        by_pad: dict = {}
+        self.oversize_ids = []
+        for k, n in enumerate(sizes):
+            n_pad = _round_up(max(n, 8), 8)
+            if n_pad > MAX_FUSED_N:
+                self.oversize_ids.append(k)
+            else:
+                by_pad.setdefault(n_pad, []).append(k)
+        self.buckets = []
+        self.fused_ids = []            # part ids in kernel output order
+        for n_pad in sorted(by_pad):
+            ids = by_pad[n_pad]
+            idx = np.zeros((len(ids), n_pad), np.int32)
+            for row, k in enumerate(ids):
+                idx[row, :sizes[k]] = np.asarray(part_indices[k])
+            self.buckets.append({
+                "n_pad": n_pad,
+                "part_ids": ids,
+                "idx_flat": idx.reshape(-1),
+                "n_real": np.asarray([sizes[k] for k in ids], np.int32),
+                "allone": allone[ids],
+            })
+            self.fused_ids.extend(ids)
 
 
 def _stack_parts(verts, idx_flat, n_parts, n_pad):
@@ -303,20 +328,32 @@ def _stack_parts(verts, idx_flat, n_parts, n_pad):
 def fused_part_sums(tx_nodummy, rec_nodummy, bones, tables: PartDistTables,
                     a_full=None, w_mode: str = "threshold",
                     w_threshold: float = 0.8, relat: bool = True):
-    """(term_sums [P], counts [P]) matching the jnp path's per-part
-    Σ(masked term) / Σ mask.  bones [B, P, 3] per-part orientation vectors."""
+    """(term_sums, counts), each [len(tables.fused_ids)] in fused_ids order,
+    matching the jnp path's per-part Σ(masked term) / Σ mask.  bones
+    [B, P, 3] per-part orientation vectors.  One kernel launch per size
+    bucket."""
     b = tx_nodummy.shape[0]
-    p, n_pad = tables.n_parts, tables.n_pad
-    vp = _stack_parts(tx_nodummy, tables.idx_flat, p, n_pad)
-    rp = _stack_parts(rec_nodummy, tables.idx_flat, p, n_pad)
-    bone = jnp.transpose(bones, (1, 0, 2)).reshape(p * b, 3)
-    bone = jnp.pad(bone.astype(jnp.float32), ((0, 0), (0, _LANES - 3)))
-    bone = jnp.pad(bone[:, None, :], ((0, 0), (0, 7), (0, 0)))  # [P*B, 8, 128]
-    a = (jnp.ones((p, b), jnp.float32) if a_full is None
-         else jnp.transpose(a_full).astype(jnp.float32))
-    sums = part_dist_sums(vp, rp, bone, a, tables.n_real, tables.allone,
-                          w_mode, w_threshold, relat)       # [P*B, 2]
-    sums = sums.reshape(p, b, 2).sum(axis=1)
+    outs = []
+    for bk in tables.buckets:
+        ids = bk["part_ids"]
+        pc = len(ids)
+        n_pad = bk["n_pad"]
+        vp = _stack_parts(tx_nodummy, bk["idx_flat"], pc, n_pad)
+        rp = _stack_parts(rec_nodummy, bk["idx_flat"], pc, n_pad)
+        ids_j = jnp.asarray(np.asarray(ids, np.int32))
+        bone = jnp.take(bones, ids_j, axis=1)               # [B, pc, 3]
+        bone = jnp.transpose(bone, (1, 0, 2)).reshape(pc * b, 3)
+        bone = jnp.pad(bone.astype(jnp.float32), ((0, 0), (0, _LANES - 3)))
+        bone = jnp.pad(bone[:, None, :], ((0, 0), (0, 7), (0, 0)))
+        if a_full is None:
+            a = jnp.ones((pc, b), jnp.float32)
+        else:
+            a = jnp.transpose(jnp.take(a_full, ids_j, axis=1))
+        sums = part_dist_sums(vp, rp, bone, a.astype(jnp.float32),
+                              bk["n_real"], bk["allone"],
+                              w_mode, w_threshold, relat)   # [pc*B, 2]
+        outs.append(sums.reshape(pc, b, 2).sum(axis=1))
+    sums = jnp.concatenate(outs, axis=0)
     return sums[:, 0], sums[:, 1]
 
 

@@ -168,26 +168,8 @@ def weighted_distance_loss(tx_nodummy, rec_nodummy, kps_full, tables: LossTables
     bone_norm = jnp.linalg.norm(bones, axis=-1)         # [B, 17]
     point_num = tx_nodummy.shape[1]
 
-    if fused is None:
-        from ..ops.pallas.part_dist_pallas import fused_dist_available
-        fused = fused_dist_available()
-    if fused:
-        from ..ops.pallas.part_dist_pallas import (PartDistTables,
-                                                   fused_part_sums)
-        ptab = PartDistTables(tables.part_indices, leafkeep, w_mode)
-        sums, counts = fused_part_sums(
-            tx_nodummy, rec_nodummy, bones, ptab, a_full=a_full,
-            w_mode=w_mode, w_threshold=w_threshold, relat=relat)
-        total = 0.0
-        for i in range(ptab.n_parts):
-            li = sums[i] / jnp.maximum(counts[i], 1.0)
-            total = total + _part_weight(
-                i, ptab.sizes[i], point_num, w_part_mode, edited_mask,
-                n_edited) * li
-        return total
-
-    total = 0.0
-    for i, idx in enumerate(tables.part_indices):
+    def jnp_part_li(i, idx):
+        """One part's masked mean term — the reference formulation."""
         idxj = jnp.asarray(idx)
         vp = jnp.take(tx_nodummy, idxj, axis=1)         # [B, n, 3]
         de0 = pairwise_dist(vp)                         # unscaled GT dists
@@ -206,9 +188,35 @@ def weighted_distance_loss(tx_nodummy, rec_nodummy, kps_full, tables: LossTables
             term = jnp.abs(w * (de_r / de_safe) - w)
         else:
             term = jnp.abs(w * de_r - w * de)
-        li = jnp.sum(jnp.where(mask, term, 0.0)) / count
+        return jnp.sum(jnp.where(mask, term, 0.0)) / count
+
+    if fused is None:
+        from ..ops.pallas.part_dist_pallas import fused_dist_available
+        fused = fused_dist_available()
+    if fused:
+        from ..ops.pallas.part_dist_pallas import (PartDistTables,
+                                                   fused_part_sums)
+        ptab = PartDistTables(tables.part_indices, leafkeep, w_mode)
+        li_by_part = {}
+        if ptab.fused_ids:
+            sums, counts = fused_part_sums(
+                tx_nodummy, rec_nodummy, bones, ptab, a_full=a_full,
+                w_mode=w_mode, w_threshold=w_threshold, relat=relat)
+            for pos, i in enumerate(ptab.fused_ids):
+                li_by_part[i] = sums[pos] / jnp.maximum(counts[pos], 1.0)
+        for i in ptab.oversize_ids:   # too big for VMEM tiles -> jnp path
+            li_by_part[i] = jnp_part_li(i, tables.part_indices[i])
+        total = 0.0
+        for i in range(ptab.n_parts):
+            total = total + _part_weight(
+                i, ptab.sizes[i], point_num, w_part_mode, edited_mask,
+                n_edited) * li_by_part[i]
+        return total
+
+    total = 0.0
+    for i, idx in enumerate(tables.part_indices):
         total = total + _part_weight(i, len(idx), point_num, w_part_mode,
-                                     edited_mask, n_edited) * li
+                                     edited_mask, n_edited) * jnp_part_li(i, idx)
     return total
 
 

@@ -142,3 +142,43 @@ def test_vertex_major_conv_path_matches():
     np.testing.assert_allclose(np.asarray(got)[:4], np.asarray(ref_small),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got)[:, -1], 0.0)
+
+
+def test_fused_dist_ragged_buckets_and_oversize(_interpret_part_dist,
+                                                _dist_case, monkeypatch):
+    """Uneven part sizes route through per-size kernel buckets, and parts
+    above MAX_FUSED_N spill to the jnp formulation — the mix must equal the
+    pure jnp path (value + grad)."""
+    import dataclasses
+    import jax
+    import semantichuman_tpu.ops.pallas.part_dist_pallas as PD
+    from semantichuman_tpu.train import losses as L
+    tables, tx, rec, kps, a_full, edited = _dist_case
+
+    # carve the same vertex set into 17 deliberately ragged parts
+    n_verts = tx.shape[1]
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n_verts)
+    cuts = np.sort(rng.choice(np.arange(8, n_verts - 8), 16, replace=False))
+    ragged = tuple(np.sort(c).astype(np.int32)
+                   for c in np.split(perm, cuts))
+    assert len(ragged) == 17 and min(len(r) for r in ragged) >= 1
+    tables_r = dataclasses.replace(tables, part_indices=ragged)
+
+    monkeypatch.setattr(PD, "MAX_FUSED_N", 64)   # force oversize spill
+
+    def loss(rec_j, fused):
+        return L.weighted_distance_loss(
+            jnp.asarray(tx), rec_j, jnp.asarray(kps), tables_r,
+            a_full=jnp.asarray(a_full), w_mode="threshold", w_threshold=0.8,
+            w_part_mode="1/K", relat=True, leafkeep=True, fused=fused)
+
+    rec_j = jnp.asarray(rec)
+    v_ref, g_ref = jax.value_and_grad(lambda r: loss(r, False))(rec_j)
+    v_fus, g_fus = jax.value_and_grad(lambda r: loss(r, True))(rec_j)
+    np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+    # sanity: the split actually exercised both routes
+    ptab = PD.PartDistTables(ragged, True, "threshold")
+    assert ptab.oversize_ids and len(ptab.buckets) > 1
