@@ -28,6 +28,18 @@ Layout: vertices ride as [n_pad, 128] tiles with xyz in lanes 0-2 (lanes
 projection from one skinny matmul; per-program scalars (true n,
 uniform-weight flag, edit factor, VJP cotangent) ride in SMEM via scalar
 prefetch.
+
+Measured and REJECTED (r2, v5e, production shape P=17 B=128 n=408):
+  * triangle-tiled forward (symmetric matrices -> only j<k pairs, 3x3
+    tile grid with a scalar-prefetched active-tile table, pl.ds ref
+    slices): 20.14 ms vs 18.05 ms full-matrix.  The n/3=136-lane tiles
+    break 128-lane vectorization (every op pays a ragged second lane
+    pass), and the lane-aligned alternative (4x128 tiles, n_pad 408->512)
+    pads away exactly what the triangle saves.  At n ~= 3*128 the
+    full-matrix kernel is the optimum.
+  * the kernel is VPU-compute-bound, not HBM-bound: ~20 vector passes
+    (2 sqrt, divides, acos poly) over Σn² elements; mode ablation
+    fwd 18.05 (threshold) / 15.03 (sin) / 9.93 (all_one) ms.
 """
 
 from __future__ import annotations
