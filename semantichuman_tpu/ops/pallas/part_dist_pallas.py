@@ -386,7 +386,10 @@ def fused_dist_available() -> bool:
     if _PROBE_RESULT is not None:
         return _PROBE_RESULT
     try:
-        n = 408
+        # probe at the LARGEST tile the wrapper will ever route here, so a
+        # pass certifies the whole fused range (VMEM capacity is monotonic
+        # in n); verified OK on the current toolchain at 504/624/768
+        n = MAX_FUSED_N
         vp = jnp.zeros((2, n, _LANES), jnp.float32)
         bone = jnp.ones((2, 8, _LANES), jnp.float32)
         a = jnp.ones((2, 1), jnp.float32)

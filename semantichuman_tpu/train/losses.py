@@ -161,8 +161,9 @@ def weighted_distance_loss(tx_nodummy, rec_nodummy, kps_full, tables: LossTables
 
     `fused` (default: auto-probe) routes the per-part tile math through the
     VMEM-resident Pallas kernel (ops.pallas.part_dist_pallas) — identical
-    sums without materializing any [B, n, n] tensor in HBM; measured 72.9 ms
-    → <15 ms of the full B=128 train step."""
+    sums without materializing any [B, n, n] tensor in HBM.  Measured at
+    B=128: +2.4% full-step throughput (the loss is VPU-compute-bound, so
+    the traffic win mostly converts to ~1.4 GB lower peak memory)."""
     a_, b1_, b2_ = bone_endpoint_arrays(SKL_LIST)
     bones = bone_vectors(kps_full, a_, b1_, b2_)        # [B, 17, 3]
     bone_norm = jnp.linalg.norm(bones, axis=-1)         # [B, 17]
