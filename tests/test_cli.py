@@ -189,3 +189,22 @@ def test_eval_reference_checkpoint(pipeline_dir, capsys):
     assert out["epoch"] == 42
     assert abs(out["mm_delta_pct"]) < 0.5
     assert abs(out["l1_delta_pct"]) < 0.5
+
+
+def test_convergence_runner_smoke(tmp_path):
+    """tools/convergence_run.py drives segmented fit + eval + curve.jsonl
+    end-to-end on the small config."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.convergence_run import main as conv_main
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "train_synthetic_small.yaml")
+    wd = str(tmp_path / "conv")
+    conv_main(["--workdir", wd, "--config", cfg_path,
+               "--epochs", "2", "--eval_every", "1"])
+    lines = [json.loads(l) for l in open(os.path.join(wd, "curve.jsonl"))]
+    assert [r["epoch"] for r in lines] == [1, 2]
+    assert all("mm" in r and r["mm"] > 0 for r in lines)
+    assert os.path.exists(os.path.join(wd, "predictions", "predictions.npy"))

@@ -23,12 +23,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="results/convergence300")
+    ap.add_argument("--config", default=None,
+                    help="YAML config (default: full-scale synthetic)")
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--eval_every", type=int, default=10)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from semantichuman_tpu.utils.compilation_cache import enable_cache
     enable_cache()
@@ -36,7 +38,7 @@ def main():
     from semantichuman_tpu.config import Config
     from semantichuman_tpu.train.loop import Trainer
 
-    cfg = Config()
+    cfg = Config.from_yaml(args.config) if args.config else Config()
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, synthetic=True),
