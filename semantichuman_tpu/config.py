@@ -124,6 +124,12 @@ class TrainConfig:
     save_recons: bool = True
     # parallelism
     data_parallel: bool = True        # shard batch over all local devices
+    # run each epoch as ONE jitted lax.scan over the step schedule when the
+    # data is device-resident (single-process, part model): ~3x faster
+    # first-epoch compile (one program replaces the per-variant step set)
+    # and zero per-step host work; steady-state throughput is unchanged on
+    # the v5e (the small-batch step is row-floor-bound, not dispatch-bound)
+    epoch_scan: bool = True
     log_every: int = 0                # extra step-level logging (0 = per-epoch)
     # profiling: capture a jax.profiler trace of global steps [start, stop)
     profile_start: int = 0

@@ -102,6 +102,10 @@ class DeviceDataSource:
         kw = {}
         if batch_shard is not None:
             kw["out_shardings"] = batch_shard
+        # the raw (un-jitted) materializer is reused INSIDE other traced
+        # programs — notably the epoch-scan train step (train.step.
+        # make_epoch_scan_step), which fetches batches per scan iteration
+        self.batch_fn = batch_fn
         self._batch_fn = jax.jit(batch_fn, **kw)
 
     def __len__(self):

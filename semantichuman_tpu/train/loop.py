@@ -33,8 +33,8 @@ from ..utils.logging import MetricsLogger
 from . import losses as L
 from .edits import EditSampler
 from .optim import make_optimizer
-from .step import (flags_for_epoch, make_baseline_train_step, make_eval_step,
-                   make_train_step)
+from .step import (flags_for_epoch, make_baseline_train_step,
+                   make_epoch_scan_step, make_eval_step, make_train_step)
 
 
 class Trainer:
@@ -405,58 +405,20 @@ class Trainer:
                 f"than batch_interp={cfg.train.batch_interp} (drop_last)")
         if self.start_epoch == 1 and cfg.train.save_recons and self._is_main:
             self.dump_part_template()
-        interp_iter = self.interp_loader.cycle()
+        use_scan = self._epoch_scan_ok()
+        interp_iter = (self._interp_meta_cycle() if use_scan
+                       else self.interp_loader.cycle())
         for epoch in range(self.start_epoch, n_epochs + 1):
             self.train_loader.set_epoch(epoch)
             t0 = time.time()
-            # per-step losses stay ON DEVICE until the epoch ends: a float()
-            # here would block the host on every step (measured ~47 ms/step
-            # of pipeline stall at the paper-recipe batch 4)
-            step_losses, step_sizes = [], []
-            last_batch = None
-            batches = prefetch_to_device(iter(self.train_loader),
-                                         size=cfg.data.prefetch,
-                                         sharding=self.batch_shard)
-            for batch in batches:
-                if self.trace_window is not None:
-                    self.trace_window.tick(self.global_step)
-                if self.is_part_model:
-                    interp_b = self._put(next(interp_iter))
-                    exc_b = self._put(next(interp_iter))
-                    variant = self.sampler.sample_exc_variant()
-                    spec = self.sampler.sample_interp(
-                        epoch, interp_b["verts"].shape[0],
-                        measure=self._interp_measure(interp_b))
-                    if self.n_processes > 1:
-                        # every process draws the same spec (same seed);
-                        # replicate it over the global mesh
-                        from ..parallel.mesh import put_replicated
-                        spec = put_replicated(spec, self.mesh)
-                    else:
-                        spec = {k: jnp.asarray(v) for k, v in spec.items()}
-                    step = self._get_step(epoch, variant)
-                    self.params, self.opt_state, metrics = step(
-                        self.params, self.opt_state, self._step_view(batch),
-                        self._step_view(interp_b), self._step_view(exc_b),
-                        spec)
-                else:
-                    step = self._get_step(epoch, "ori")
-                    self.params, self.opt_state, metrics = step(
-                        self.params, self.opt_state, self._step_view(batch))
-                bs = batch["verts"].shape[0]
-                step_losses.append(metrics["loss"])
-                step_sizes.append(bs)
-                self.global_step += 1
-                if cfg.train.log_every and self._is_main and (
-                        self.global_step % cfg.train.log_every == 0):
-                    self.logger.log(self.global_step, metrics)
-                last_batch = batch
-
+            if use_scan:
+                epoch_tloss, metrics, last_batch = self._run_epoch_scan(
+                    epoch, interp_iter)
+            else:
+                epoch_tloss, metrics, last_batch = self._run_epoch_steps(
+                    epoch, interp_iter)
             if self._is_main:
                 self.logger.log(self.global_step, metrics)
-            losses_h = [float(v) for v in jax.device_get(step_losses)]
-            epoch_tloss = (sum(v * b for v, b in zip(losses_h, step_sizes))
-                           / max(sum(step_sizes), 1))
             vloss = self.validate()
             if self._is_main:
                 self.logger.log(epoch, {"epoch_train": epoch_tloss,
@@ -472,6 +434,157 @@ class Trainer:
         if self.trace_window is not None:
             self.trace_window.close()
         return self
+
+    def _run_epoch_steps(self, epoch: int, interp_iter):
+        """One epoch as a Python loop of jitted steps (the general path:
+        host data, multi-host, profiling windows, baseline model)."""
+        cfg = self.cfg
+        # per-step losses stay ON DEVICE until the epoch ends: a float()
+        # here would block the host on every step (measured ~47 ms/step
+        # of pipeline stall at the paper-recipe batch 4)
+        step_losses, step_sizes = [], []
+        last_batch = None
+        metrics = {}
+        batches = prefetch_to_device(iter(self.train_loader),
+                                     size=cfg.data.prefetch,
+                                     sharding=self.batch_shard)
+        for batch in batches:
+            if self.trace_window is not None:
+                self.trace_window.tick(self.global_step)
+            if self.is_part_model:
+                interp_b = self._put(next(interp_iter))
+                exc_b = self._put(next(interp_iter))
+                variant = self.sampler.sample_exc_variant()
+                spec = self.sampler.sample_interp(
+                    epoch, interp_b["verts"].shape[0],
+                    measure=self._interp_measure(interp_b))
+                if self.n_processes > 1:
+                    # every process draws the same spec (same seed);
+                    # replicate it over the global mesh
+                    from ..parallel.mesh import put_replicated
+                    spec = put_replicated(spec, self.mesh)
+                else:
+                    spec = {k: jnp.asarray(v) for k, v in spec.items()}
+                step = self._get_step(epoch, variant)
+                self.params, self.opt_state, metrics = step(
+                    self.params, self.opt_state, self._step_view(batch),
+                    self._step_view(interp_b), self._step_view(exc_b),
+                    spec)
+            else:
+                step = self._get_step(epoch, "ori")
+                self.params, self.opt_state, metrics = step(
+                    self.params, self.opt_state, self._step_view(batch))
+            bs = batch["verts"].shape[0]
+            step_losses.append(metrics["loss"])
+            step_sizes.append(bs)
+            self.global_step += 1
+            if cfg.train.log_every and self._is_main and (
+                    self.global_step % cfg.train.log_every == 0):
+                self.logger.log(self.global_step, metrics)
+            last_batch = batch
+
+        losses_h = [float(v) for v in jax.device_get(step_losses)]
+        epoch_tloss = (sum(v * b for v, b in zip(losses_h, step_sizes))
+                       / max(sum(step_sizes), 1))
+        return epoch_tloss, metrics, last_batch
+
+    # --- epoch-scan path --------------------------------------------------------
+    def _epoch_scan_ok(self) -> bool:
+        """Whole-epoch lax.scan applies when the data is device-resident in
+        a single process with the part model and no per-step profiling
+        hooks (train.epoch_scan turns it off)."""
+        from ..data.device_data import DeviceBatchLoader
+        return (self.cfg.train.epoch_scan
+                and self.is_part_model
+                and self.n_processes == 1
+                and self.trace_window is None
+                and isinstance(self.train_loader, DeviceBatchLoader)
+                and isinstance(self.interp_loader, DeviceBatchLoader)
+                and self.train_loader.source is self.interp_loader.source)
+
+    def _interp_meta_cycle(self):
+        """Endless interp/exc batch SCHEDULE (mirrors DeviceBatchLoader
+        .cycle()'s draw order and epoch bumping, minus materialization)."""
+        ld = self.interp_loader.loader
+        while True:
+            yield from ld.iter_indices()
+            ld.epoch += 1
+
+    def _get_scan_step(self, epoch: int, variant: str, n_steps: int):
+        flags = flags_for_epoch(self.cfg.train, epoch)
+        key = ("scan", flags, variant, n_steps)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_epoch_scan_step(
+                self.model, self.tables, self.optimizer, flags, variant,
+                self.train_loader.source.batch_fn)
+        return self._step_cache[key]
+
+    def _run_epoch_scan(self, epoch: int, interp_meta_iter):
+        """One epoch as ONE jitted lax.scan dispatch over device-resident
+        data: the host contributes the [K, B] index schedule and stacked
+        edit specs; per-step launch overhead (~35 ms at batch 4) is paid
+        once per epoch."""
+        cfg = self.cfg
+        src = self.train_loader.source
+        metas = list(self.train_loader.loader.iter_indices())
+        k = len(metas)
+        idx_tr = np.stack([m["global_idx"] for m in metas]).astype(np.int32)
+
+        exc_dyn = self.sampler.exc_mode == "ori_or_m"
+        host_meas = getattr(self.interp_loader.loader.source, "measures",
+                            None)
+        idx_in, idx_ex, specs = [], [], []
+        static_variant = None
+        for _ in range(k):
+            mi = next(interp_meta_iter)
+            me = next(interp_meta_iter)
+            idx_in.append(mi["global_idx"])
+            idx_ex.append(me["global_idx"])
+            variant = self.sampler.sample_exc_variant()
+            static_variant = variant
+            measure = None
+            if cfg.train.edit_mode == "exc":
+                measure = np.asarray(host_meas)[mi["global_idx"]]
+            spec = self.sampler.sample_interp(epoch, len(mi["global_idx"]),
+                                              measure=measure)
+            if exc_dyn:
+                spec["exc_is_ori"] = np.float32(variant == "ori")
+            specs.append(spec)
+        idx_in = np.stack(idx_in).astype(np.int32)
+        idx_ex = np.stack(idx_ex).astype(np.int32)
+        specs_st = {name: np.stack([s[name] for s in specs])
+                    for name in specs[0]}
+
+        def put_stacked(x):
+            # [K, B]-shaped inputs shard on the batch axis so the scanned
+            # per-step slices inherit the DP layout
+            if self.mesh is not None and x.ndim >= 2 and (
+                    x.shape[1] in (idx_tr.shape[1], idx_in.shape[1])):
+                from jax.sharding import NamedSharding, PartitionSpec
+                spec = PartitionSpec(*((None, self.mesh.axis_names[0])
+                                       + (None,) * (x.ndim - 2)))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+            return jnp.asarray(x)
+
+        step = self._get_scan_step(
+            epoch, "dynamic" if exc_dyn else static_variant, k)
+        self.params, self.opt_state, ms = step(
+            self.params, self.opt_state, src.verts, src.measures,
+            put_stacked(idx_tr), put_stacked(idx_in), put_stacked(idx_ex),
+            {name: put_stacked(v) for name, v in specs_st.items()})
+        self.global_step += k
+
+        if cfg.train.log_every and self._is_main:
+            base = self.global_step - k
+            ms_h = jax.device_get(ms)
+            for s in range(k):
+                if (base + s + 1) % cfg.train.log_every == 0:
+                    self.logger.log(base + s + 1,
+                                    {n: v[s] for n, v in ms_h.items()})
+        epoch_tloss = float(jnp.mean(ms["loss"]))
+        metrics_last = {n: v[-1] for n, v in ms.items()}
+        last_batch = src.take(metas[-1])
+        return epoch_tloss, metrics_last, last_batch
 
     def _get_eval_step(self, mm_constant: float = 1000.0):
         """Jitted eval step, cached per mm_constant (a single cached step

@@ -75,20 +75,33 @@ def _edited_kps(kps_full, skl_len_factor):
     return skl2kps(skl, "ori_m")
 
 
-def _exchanged_kps(kps_full, variant: str):
+def _ori_swapped(skl):
+    keep = jnp.asarray(NEWSKL_KEEP)
+    return skl.at[:, keep, :3].set(jnp.flip(skl[:, keep, :3], axis=0))
+
+
+def _m_swapped(skl):
+    keep = jnp.asarray(SKL_KEEP)
+    return skl.at[:, keep, 3].set(jnp.flip(skl[:, keep, 3], axis=0))
+
+
+def _exchanged_kps(kps_full, variant: str, is_ori=None):
     """Pair samples by flipping the batch and swap skeleton orientation or
-    bone length between pairs (the exc branch, train_funcs.py:297-316)."""
+    bone length between pairs (the exc branch, train_funcs.py:297-316).
+
+    variant='dynamic' selects ori-vs-m per call from the traced scalar
+    `is_ori` (the epoch-scan path, where the 'ori_or_m' coin flip varies
+    across scanned steps inside ONE compiled program); both swaps are a
+    few [B, 35, 4] array ops, so computing both and selecting is cheap."""
     if variant == "ori_m":
         return jnp.flip(kps_full, axis=0)[:, jnp.asarray(KPS_KEEP)]
     skl = kps2skl(kps_full, "ori_m")
     if variant == "ori":
-        keep = jnp.asarray(NEWSKL_KEEP)
-        swapped = jnp.flip(skl[:, keep, :3], axis=0)
-        skl = skl.at[:, keep, :3].set(swapped)
+        skl = _ori_swapped(skl)
     elif variant == "m":
-        keep = jnp.asarray(SKL_KEEP)
-        swapped = jnp.flip(skl[:, keep, 3], axis=0)
-        skl = skl.at[:, keep, 3].set(swapped)
+        skl = _m_swapped(skl)
+    elif variant == "dynamic":
+        skl = jnp.where(is_ori > 0, _ori_swapped(skl), _m_swapped(skl))
     else:
         raise ValueError(f"unknown exc variant {variant!r}")
     return skl2kps(skl, "ori_m")
@@ -132,7 +145,8 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
         if flags.exc:
             txe = exc_batch["verts"]
             kps_e = L.regress_kps(txe[:, :-1], jreg)
-            newkps_e = _exchanged_kps(kps_e, exc_variant)
+            newkps_e = _exchanged_kps(kps_e, exc_variant,
+                                      edit_spec.get("exc_is_ori"))
             segs.append(txe)
             enc_kps.append(newkps_e)
 
@@ -194,6 +208,13 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
             if flags.vol and exc_variant == "ori":
                 vl = L.volume_loss(txe[:, :-1], rec_e[:, :-1], tables)
                 loss = loss + flags.vol_w * vl
+                metrics["vol"] = vl
+            elif flags.vol and exc_variant == "dynamic":
+                # reference applies the volume loss only on 'ori' steps
+                # (train_funcs.py:323-333) — under the scanned coin flip
+                # that gate becomes a traced weight
+                vl = L.volume_loss(txe[:, :-1], rec_e[:, :-1], tables)
+                loss = loss + flags.vol_w * edit_spec["exc_is_ori"] * vl
                 metrics["vol"] = vl
             if flags.exc_kps_w > 0:
                 kl = L.kps_consistency_loss(rec_e[:, :-1], newkps_e, jreg,
@@ -293,3 +314,50 @@ def make_eval_step(model, tables: L.LossTables, mm_constant: float = 1000.0):
         return {"rec": rec, "z": z, "z_kps": z_kps, "l1": l1, "l2_mm": l2mm}
 
     return jax.jit(step)
+
+
+def make_epoch_scan_step(model, tables: L.LossTables, optimizer,
+                         flags: StepFlags, exc_variant: str, batch_fn,
+                         donate: bool = True):
+    """A WHOLE EPOCH of train steps as ONE jitted lax.scan program.
+
+    With device-resident data the host contributes only the epoch's [K, B]
+    index schedule and stacked edit specs.  Measured on the v5e at the
+    paper-recipe batch 4: steady-state epoch time is a WASH vs the step
+    loop (~4.1 s — the B=4 step is device-bound by the batch-independent
+    gather/scatter row floor, not by dispatch), but first-epoch compile
+    drops ~3× (one program replaces the per-variant step set) and the
+    per-step host path vanishes entirely, which matters on hosts slower
+    than the accelerator.
+
+    batch_fn: (data, meas, idx[B]) -> {"verts", "measure"} — the pure
+    DeviceDataSource materializer; `data`/`meas` are passed as arguments
+    (closing over multi-GB staged arrays would ship them as compile-time
+    constants).  exc_variant may be 'dynamic': the 'ori_or_m' coin flips
+    ride in specs["exc_is_ori"] [K].
+
+    Returns jitted: (params, opt_state, data, meas, idx_tr [K,Bt],
+    idx_in [K,Bi], idx_ex [K,Bi], specs {.: [K,...]})
+    -> (params, opt_state, metrics {.: [K]}).
+    """
+    loss_fn = make_loss_fn(model, tables, flags, exc_variant)
+
+    def step(params, opt_state, data, meas, idx_tr, idx_in, idx_ex, specs):
+        def one(carry, xs):
+            p, o = carry
+            it, ii, ie, spec = xs
+            batch = batch_fn(data, meas, it)
+            interp = batch_fn(data, meas, ii)
+            exc = batch_fn(data, meas, ie)
+            (_, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, batch, interp, exc, spec)
+            updates, o = optimizer.update(grads, o, p)
+            p = jax.tree.map(lambda a, u: a + u, p, updates)
+            return (p, o), m
+
+        (params, opt_state), metrics = jax.lax.scan(
+            one, (params, opt_state), (idx_tr, idx_in, idx_ex, specs))
+        return params, opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)

@@ -171,3 +171,30 @@ def test_checkpoint_retention(tmp_path):
     kept = sorted(int(d) for d in os.listdir(tmp_path) if d.isdigit())
     assert kept == [3, 4]
     assert latest_step(str(tmp_path)) == 4
+
+
+def test_epoch_scan_matches_step_loop(tmp_path, small_assets, small_human):
+    """The whole-epoch lax.scan path must reproduce the per-step loop
+    exactly: same batch/spec schedule (shared seeded RNG draw order), same
+    params and epoch losses after 2 epochs — including the 'ori_or_m'
+    per-step variant coin flips riding as traced exc_is_ori flags."""
+    import jax
+
+    tr_scan = _small_trainer(str(tmp_path / "scan"), small_assets,
+                             small_human)
+    tr_loop = _small_trainer(str(tmp_path / "loop"), small_assets,
+                             small_human, epoch_scan=False)
+    assert tr_scan._epoch_scan_ok(), "scan prerequisites not met in test env"
+    assert not tr_loop._epoch_scan_ok()
+
+    tr_scan.fit(2)
+    tr_loop.fit(2)
+    assert tr_scan.global_step == tr_loop.global_step
+
+    ps = jax.tree.leaves(tr_scan.params)
+    pl = jax.tree.leaves(tr_loop.params)
+    for a, b in zip(ps, pl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    vs, vl = tr_scan.validate(), tr_loop.validate()
+    np.testing.assert_allclose(vs, vl, rtol=1e-5)
