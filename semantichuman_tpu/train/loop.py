@@ -583,7 +583,8 @@ class Trainer:
                                     {n: v[s] for n, v in ms_h.items()})
         epoch_tloss = float(jnp.mean(ms["loss"]))
         metrics_last = {n: v[-1] for n, v in ms.items()}
-        last_batch = src.take(metas[-1])
+        last_batch = (src.take(metas[-1])
+                      if cfg.train.save_recons and epoch % 50 == 0 else None)
         return epoch_tloss, metrics_last, last_batch
 
     def _get_eval_step(self, mm_constant: float = 1000.0):
