@@ -173,7 +173,14 @@ def test_checkpoint_retention(tmp_path):
     assert latest_step(str(tmp_path)) == 4
 
 
-def test_epoch_scan_matches_step_loop(tmp_path, small_assets, small_human):
+@pytest.mark.parametrize("overrides", [
+    {},                                                     # default ori_or_m
+    {"edit_mode": "rand", "editskl_flag": True,             # skl stacking +
+     "log_every": 3},                                       # per-step logging
+    {"edit_mode": "exc"},                                   # host-measure specs
+], ids=["default", "rand_editskl_logevery", "exc_measures"])
+def test_epoch_scan_matches_step_loop(tmp_path, small_assets, small_human,
+                                      overrides):
     """The whole-epoch lax.scan path must reproduce the per-step loop
     exactly: same batch/spec schedule (shared seeded RNG draw order), same
     params and epoch losses after 2 epochs — including the 'ori_or_m'
@@ -181,9 +188,9 @@ def test_epoch_scan_matches_step_loop(tmp_path, small_assets, small_human):
     import jax
 
     tr_scan = _small_trainer(str(tmp_path / "scan"), small_assets,
-                             small_human)
+                             small_human, **overrides)
     tr_loop = _small_trainer(str(tmp_path / "loop"), small_assets,
-                             small_human, epoch_scan=False)
+                             small_human, epoch_scan=False, **overrides)
     assert tr_scan._epoch_scan_ok(), "scan prerequisites not met in test env"
     assert not tr_loop._epoch_scan_ok()
 
