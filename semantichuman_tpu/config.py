@@ -39,7 +39,10 @@ class ModelConfig:
     vae: bool = False
     # numeric policy: 'float32' or 'bfloat16' for the conv trunk
     trunk_dtype: str = "float32"
-    # use the fused Pallas spiral-conv kernel on TPU where profitable
+    # allow Pallas kernels where measured profitable: the LIVE kernel is
+    # the VMEM-fused distance loss (ops.pallas.part_dist_pallas); the
+    # spiral-conv kernel exists as a measured-and-rejected record and only
+    # engages under SH_TPU_FORCE_PALLAS=1 (ops.pallas.spiral_conv_pallas)
     use_pallas: bool = True
 
 

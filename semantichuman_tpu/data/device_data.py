@@ -158,7 +158,15 @@ class DeviceBatchLoader:
         for meta in self.loader.iter_indices():
             yield self.source.take(meta)
 
-    def cycle(self):
+    def meta_cycle(self):
+        """Endless index-metadata schedule (seeded draw order + epoch
+        bumping).  This is THE batch schedule: cycle() materializes it, and
+        the epoch-scan path (train.loop) consumes it directly — one object,
+        so draw-order parity between the two paths is structural."""
         while True:
-            yield from self
+            yield from self.loader.iter_indices()
             self.loader.epoch += 1
+
+    def cycle(self):
+        for meta in self.meta_cycle():
+            yield self.source.take(meta)

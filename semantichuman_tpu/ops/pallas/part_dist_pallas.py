@@ -18,10 +18,15 @@ contracts the coefficient matrix against rp rows on the MXU:
 
 — no scatter, one matmul per tile.
 
-Numerical divergence from the jnp path (documented, strictly safer): where
-the mask admits a pair whose reconstructed distance is exactly 0, the jnp
-path's sqrt yields an inf/NaN gradient; here the pair's gradient
-contribution is 0.
+Numerical divergences from the jnp path (documented, both intentional):
+  * where the mask admits a pair whose reconstructed distance is exactly 0,
+    the jnp path's sqrt yields an inf/NaN gradient; here the pair's
+    gradient contribution is 0 (strictly safer);
+  * w_mode='threshold' compares the weight against w_threshold after the
+    arcsin-Taylor acos (~1e-7 abs error vs the jnp arccos), so a pair whose
+    weight sits within that error of the threshold can flip in/out of the
+    nonzero mask, perturbing the masked count and loss at ~1e-7 relative —
+    behaviorally negligible, asserted within tolerance by tests.
 
 Layout: vertices ride as [n_pad, 128] tiles with xyz in lanes 0-2 (lanes
 3+ zero), so pair distances come from one vp @ vpᵀ MXU pass and the bone
@@ -369,31 +374,34 @@ def fused_part_sums(tx_nodummy, rec_nodummy, bones, tables: PartDistTables,
     return sums[:, 0], sums[:, 1]
 
 
-_PROBE_RESULT: bool | None = None
+_PROBE_CACHE: dict[int, bool] = {}
 
 
-def fused_dist_available() -> bool:
-    """One-time per process: does Mosaic compile AND differentiate the
-    fused kernel at a realistic tile size on the current default backend?
-    (On CPU the non-interpret pallas_call fails and the jnp path is used.)
+def bucket_n_pads(part_indices) -> tuple[int, ...]:
+    """The distinct fused-kernel tile heights the wrapper will launch for
+    these parts (sorted; oversize parts excluded — they take the jnp
+    path)."""
+    pads = {_round_up(max(len(ix), 8), 8) for ix in part_indices}
+    return tuple(sorted(p for p in pads if p <= MAX_FUSED_N))
+
+
+def _probe_one(n: int) -> bool:
+    """Does Mosaic compile AND differentiate the kernel at tile height n on
+    the current default backend?  (On CPU the non-interpret pallas_call
+    fails and the jnp path is used.)
 
     The body is explicitly jitted and executed: an eager pallas_call
     evaluated while an outer jit is tracing DEFERS its lowering error to
     the outer compile, which would make a bare probe report success on
     backends that cannot run the kernel.
     """
-    global _PROBE_RESULT
-    if _PROBE_RESULT is not None:
-        return _PROBE_RESULT
+    if n in _PROBE_CACHE:
+        return _PROBE_CACHE[n]
     try:
-        # probe at the LARGEST tile the wrapper will ever route here, so a
-        # pass certifies the whole fused range (VMEM capacity is monotonic
-        # in n); verified OK on the current toolchain at 504/624/768
-        n = MAX_FUSED_N
         vp = jnp.zeros((2, n, _LANES), jnp.float32)
         bone = jnp.ones((2, 8, _LANES), jnp.float32)
         a = jnp.ones((2, 1), jnp.float32)
-        n_real = np.asarray([n - 3, n - 3], np.int32)
+        n_real = np.asarray([max(n - 3, 1), max(n - 3, 1)], np.int32)
         allone = np.asarray([0, 1], np.int32)
 
         def f(rp):
@@ -401,7 +409,21 @@ def fused_dist_available() -> bool:
                                           "threshold", 0.8, True)[:, 0])
 
         jax.block_until_ready(jax.jit(jax.grad(f))(vp + 1.0))
-        _PROBE_RESULT = True
+        _PROBE_CACHE[n] = True
     except Exception:
-        _PROBE_RESULT = False
-    return _PROBE_RESULT
+        _PROBE_CACHE[n] = False
+    return _PROBE_CACHE[n]
+
+
+def fused_dist_available(n_pads=None) -> bool:
+    """True iff Mosaic compiles AND differentiates the fused kernel at
+    EVERY tile size in `n_pads` (cached per size per process).
+
+    Mosaic compile failures are shape-specific (lane layouts, tiny tiles),
+    not just VMEM-capacity-bound, so a single largest-tile probe cannot
+    certify the small buckets — callers pass the ACTUAL bucket sizes their
+    PartDistTables will launch (`bucket_n_pads`).  Default: the largest
+    supported tile only (capacity smoke check)."""
+    if n_pads is None:
+        n_pads = (MAX_FUSED_N,)
+    return all(_probe_one(int(n)) for n in n_pads)

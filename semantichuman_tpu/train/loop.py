@@ -391,6 +391,29 @@ class Trainer:
         save_obj(os.path.join(self.workdir, "samples", "template_parts.obj"),
                  v, self.assets.template_faces, vert_colors=colors)
 
+    def _dump_train_params(self):
+        """Write the full resolved config (+ code revision when available)
+        to checkpoints/train_params.txt at train start — the reference's
+        run-provenance mechanism (main.py:273-275); final metrics are
+        appended to the same file by export_predictions."""
+        import json
+        import subprocess
+
+        sha = None
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+                timeout=5, cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip() or None
+        except Exception:
+            pass
+        with open(os.path.join(self._ckpt_dir(), "train_params.txt"),
+                  "a") as f:
+            f.write(json.dumps({"git_sha": sha,
+                                "start_epoch": self.start_epoch,
+                                "config": self.cfg.to_dict()},
+                               indent=2, default=str) + "\n")
+
     def fit(self, n_epochs: int | None = None):
         cfg = self.cfg
         n_epochs = n_epochs or cfg.train.n_epochs
@@ -403,10 +426,14 @@ class Trainer:
             raise ValueError(
                 f"train split has {len(self.data['train'])} samples — fewer "
                 f"than batch_interp={cfg.train.batch_interp} (drop_last)")
+        if self._is_main:
+            self._dump_train_params()
         if self.start_epoch == 1 and cfg.train.save_recons and self._is_main:
             self.dump_part_template()
         use_scan = self._epoch_scan_ok()
-        interp_iter = (self._interp_meta_cycle() if use_scan
+        # both paths consume the SAME schedule object (DeviceBatchLoader
+        # .meta_cycle / cycle share it), so draw order can't diverge
+        interp_iter = (self.interp_loader.meta_cycle() if use_scan
                        else self.interp_loader.cycle())
         for epoch in range(self.start_epoch, n_epochs + 1):
             self.train_loader.set_epoch(epoch)
@@ -502,14 +529,6 @@ class Trainer:
                 and isinstance(self.interp_loader, DeviceBatchLoader)
                 and self.train_loader.source is self.interp_loader.source)
 
-    def _interp_meta_cycle(self):
-        """Endless interp/exc batch SCHEDULE (mirrors DeviceBatchLoader
-        .cycle()'s draw order and epoch bumping, minus materialization)."""
-        ld = self.interp_loader.loader
-        while True:
-            yield from ld.iter_indices()
-            ld.epoch += 1
-
     def _get_scan_step(self, epoch: int, variant: str, n_steps: int):
         flags = flags_for_epoch(self.cfg.train, epoch)
         key = ("scan", flags, variant, n_steps)
@@ -555,11 +574,13 @@ class Trainer:
         specs_st = {name: np.stack([s[name] for s in specs])
                     for name in specs[0]}
 
-        def put_stacked(x):
-            # [K, B]-shaped inputs shard on the batch axis so the scanned
-            # per-step slices inherit the DP layout
-            if self.mesh is not None and x.ndim >= 2 and (
-                    x.shape[1] in (idx_tr.shape[1], idx_in.shape[1])):
+        def put_stacked(x, batch_major):
+            # [K, B, ...] inputs shard on the batch axis so the scanned
+            # per-step slices inherit the DP layout; which arrays are
+            # batch-major is decided by NAME (only the index schedules and
+            # a_full), never by matching dim sizes — a spec whose non-batch
+            # axis-1 length coincides with a batch size must stay replicated
+            if self.mesh is not None and batch_major:
                 from jax.sharding import NamedSharding, PartitionSpec
                 spec = PartitionSpec(*((None, self.mesh.axis_names[0])
                                        + (None,) * (x.ndim - 2)))
@@ -570,8 +591,10 @@ class Trainer:
             epoch, "dynamic" if exc_dyn else static_variant, k)
         self.params, self.opt_state, ms = step(
             self.params, self.opt_state, src.verts, src.measures,
-            put_stacked(idx_tr), put_stacked(idx_in), put_stacked(idx_ex),
-            {name: put_stacked(v) for name, v in specs_st.items()})
+            put_stacked(idx_tr, True), put_stacked(idx_in, True),
+            put_stacked(idx_ex, True),
+            {name: put_stacked(v, name == "a_full")
+             for name, v in specs_st.items()})
         self.global_step += k
 
         if cfg.train.log_every and self._is_main:

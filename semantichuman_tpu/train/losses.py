@@ -192,8 +192,9 @@ def weighted_distance_loss(tx_nodummy, rec_nodummy, kps_full, tables: LossTables
         return jnp.sum(jnp.where(mask, term, 0.0)) / count
 
     if fused is None:
-        from ..ops.pallas.part_dist_pallas import fused_dist_available
-        fused = fused_dist_available()
+        from ..ops.pallas.part_dist_pallas import (bucket_n_pads,
+                                                   fused_dist_available)
+        fused = fused_dist_available(bucket_n_pads(tables.part_indices))
     if fused:
         from ..ops.pallas.part_dist_pallas import (PartDistTables,
                                                    fused_part_sums)

@@ -118,8 +118,11 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
     # (a deferred pallas lowering error would make it misreport)
     fused_dist = flags.fused_dist
     if fused_dist is None:
-        from ..ops.pallas.part_dist_pallas import fused_dist_available
-        fused_dist = fused_dist_available()
+        from ..ops.pallas.part_dist_pallas import (bucket_n_pads,
+                                                   fused_dist_available)
+        # probe the ACTUAL tile sizes this model's parts will launch —
+        # Mosaic failures are shape-specific, not only capacity-bound
+        fused_dist = fused_dist_available(bucket_n_pads(tables.part_indices))
 
     def loss_fn(params, batch, interp_batch, exc_batch, edit_spec):
         # The three branches (main rec, interp edit, skeleton exchange) share
@@ -212,10 +215,12 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
             elif flags.vol and exc_variant == "dynamic":
                 # reference applies the volume loss only on 'ori' steps
                 # (train_funcs.py:323-333) — under the scanned coin flip
-                # that gate becomes a traced weight
+                # that gate becomes a traced weight; the logged metric is
+                # gated too so scan-path curves match the step-loop path
+                # (which reports no vol on 'm' steps)
                 vl = L.volume_loss(txe[:, :-1], rec_e[:, :-1], tables)
                 loss = loss + flags.vol_w * edit_spec["exc_is_ori"] * vl
-                metrics["vol"] = vl
+                metrics["vol"] = edit_spec["exc_is_ori"] * vl
             if flags.exc_kps_w > 0:
                 kl = L.kps_consistency_loss(rec_e[:, :-1], newkps_e, jreg,
                                             kps_keep)

@@ -293,6 +293,47 @@ def test_full_topology_matches_reference_oracle():
         np.testing.assert_array_equal(np.where(got == dummy, -1, got), ref)
 
 
+@pytest.mark.slow
+def test_spiral_relabeling_matches_live_reference():
+    """Hash-order robustness, CI-enforced: randomly relabeling the vertices
+    of a mesh scrambles Python tuple hash values — i.e. samples a different
+    iteration order of the reference's hash-ordered triangle sets
+    (utils_spiral.py:260,328) — and our insertion-ordered pools must still
+    match the reference's own generator index-for-index.  Runs the live
+    reference enumerator (skipped when /root/reference is absent); the
+    broader sweep lives in tools/stress_spiral_oracle.py."""
+    import os
+    import sys
+    if not os.path.exists("/root/reference/utils_spiral.py"):
+        pytest.skip("reference tree not available")
+    tools = os.path.join(os.path.dirname(__file__), "..", "tools")
+    sys.path.insert(0, tools)
+    try:
+        from gen_spiral_oracle import load_reference_spiral, run_reference
+        from stress_spiral_oracle import _Levels, relabel
+    finally:
+        sys.path.remove(tools)
+    from semantichuman_tpu.data.synthetic import SyntheticHuman
+    from semantichuman_tpu.topology.adjacency import (adjacency_lists,
+                                                      triangle_lists)
+    from semantichuman_tpu.topology.spiral import generate_spirals
+
+    ref_mod, _sha = load_reference_spiral("/root/reference")
+    sh = SyntheticHuman(n_theta=12, n_phi=24)
+    v, f = relabel(sh.template_verts, sh.template_faces, seed=3)
+    adj = [adjacency_lists(len(v), f)]
+    trigs = [triangle_lists(len(v), f)]
+    ref_points = [[int(np.argmax(v[:, 1]))]]
+    levels = _Levels([np.asarray(v, float)])
+    rt, rs, _ = run_reference(ref_mod, levels, adj, trigs, ref_points,
+                              [2], [2])
+    ot, osz, _ = generate_spirals([2], levels.verts, adj, trigs, ref_points,
+                                  dilation=[2])
+    assert rs == osz
+    for a, b in zip(rt, ot):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_spiral_invariants(small_hierarchy):
     """Structural invariants of the spiral tables: every real vertex's
     spiral starts at itself (reference convention, utils_spiral.py:140-255),

@@ -49,8 +49,13 @@ def main(argv=None):
 
     trainer = Trainer(cfg, args.workdir)
     start = trainer.start_epoch
-    for seg_end in range(start - 1 + args.eval_every, args.epochs + 1,
-                         args.eval_every):
+    seg_ends = list(range(start - 1 + args.eval_every, args.epochs + 1,
+                          args.eval_every))
+    if not seg_ends or seg_ends[-1] != args.epochs:
+        # trailing partial segment: --epochs not a multiple of --eval_every
+        # must still train (and evaluate) every epoch
+        seg_ends.append(args.epochs)
+    for seg_end in seg_ends:
         t0 = time.time()
         trainer.fit(seg_end)
         sec = (time.time() - t0) / max(seg_end - trainer.start_epoch + 1, 1)
