@@ -22,6 +22,12 @@ def main(argv=None):
                     help="override cfg.train.n_epochs")
     ap.add_argument("--resume", default=None,
                     help="checkpoint dir to resume from")
+    ap.add_argument("--resume_torch", default=None,
+                    help="reference .pth.tar to resume from (weights + "
+                         "Adam moments + schedule position)")
+    ap.add_argument("--finetune", action="store_true",
+                    help="with --resume/--resume_torch: load weights only "
+                         "and restart the schedule from epoch 1")
     ap.add_argument("--synthetic", action="store_true",
                     help="force the synthetic dataset (no DFAUST needed)")
     ap.add_argument("--distributed", action="store_true",
@@ -51,9 +57,13 @@ def main(argv=None):
     if args.synthetic:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, synthetic=True))
-    if args.resume:
+    if args.resume or args.resume_torch or args.finetune:
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, resume=args.resume))
+            cfg, train=dataclasses.replace(
+                cfg.train,
+                resume=args.resume or cfg.train.resume,
+                resume_torch=args.resume_torch or cfg.train.resume_torch,
+                finetune=args.finetune or cfg.train.finetune))
 
     trainer = Trainer(cfg, args.workdir)
     trainer.fit(args.epochs)

@@ -90,6 +90,9 @@ class TrainConfig:
     lr: float = 1e-3
     weight_decay: float = 5e-5        # torch-style coupled L2 inside Adam
     lr_decay: float = 0.99            # per-epoch exponential (StepLR gamma)
+    # linear lr ramp over the first N epochs (large-batch stabilizer;
+    # 0 = reference schedule)
+    lr_warmup_epochs: int = 0
     seed: int = 2
     # loss switches / weights (epoch thresholds gate when a term turns on)
     edgereg_epoch: int = 0
@@ -122,6 +125,9 @@ class TrainConfig:
     ck_keep: Optional[int] = None     # keep only the newest N checkpoints
     ck_name: str = "checkpoint"
     resume: Optional[str] = None      # checkpoint dir to resume from
+    # reference .pth.tar to resume from: weights + Adam moments + schedule
+    # position (the reference's main.py:277-292 resume path)
+    resume_torch: Optional[str] = None
     finetune: bool = False            # load weights only, restart schedule
     eval_flag: bool = True
     save_recons: bool = True

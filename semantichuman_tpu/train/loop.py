@@ -113,13 +113,18 @@ class Trainer:
         self.steps_per_epoch = max(len(self.train_loader), 1)
         self.optimizer = make_optimizer(
             cfg.train.lr, cfg.train.weight_decay, cfg.train.lr_decay,
-            self.steps_per_epoch)
+            self.steps_per_epoch, warmup_epochs=cfg.train.lr_warmup_epochs)
         self.params = self.model.init(cfg.train.seed)
         self.opt_state = self.optimizer.init(self.params)
         self.start_epoch = 1
         self.global_step = 0
+        if cfg.train.resume and cfg.train.resume_torch:
+            raise ValueError("set train.resume OR train.resume_torch, "
+                             "not both")
         if cfg.train.resume:
             self._resume(cfg.train.resume, cfg.train.finetune)
+        elif cfg.train.resume_torch:
+            self._resume_torch(cfg.train.resume_torch, cfg.train.finetune)
 
         # --- parallel placement ----------------------------------------------
         self.mesh = None
@@ -322,6 +327,27 @@ class Trainer:
             self.opt_state = state["opt_state"]
             self.start_epoch = int(state["epoch"]) + 1
             self.global_step = int(state["step"])
+
+    def _resume_torch(self, path: str, finetune: bool):
+        """Continue training from a reference `.pth.tar`: weights always;
+        Adam moments + bias-correction count + lr-schedule position unless
+        finetune (reference main.py:277-292 semantics — finetune loads
+        weights only and restarts from epoch 1)."""
+        from ..utils.import_torch import load_reference_training_state
+        params, opt_state, epoch = load_reference_training_state(
+            path, self.model, self.optimizer, self.steps_per_epoch,
+            lr_decay=self.cfg.train.lr_decay)
+        self.params = params
+        if finetune:
+            return
+        if opt_state is None:
+            raise ValueError(
+                f"{path} carries no optimizer state — pass "
+                "train.finetune=True to start a fresh schedule from its "
+                "weights")
+        self.opt_state = opt_state
+        self.start_epoch = epoch + 1
+        self.global_step = epoch * self.steps_per_epoch
 
     def save(self, epoch: int):
         save_checkpoint(self._ckpt_dir(), epoch, {

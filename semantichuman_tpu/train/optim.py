@@ -9,11 +9,22 @@ import optax
 
 
 def make_optimizer(lr: float, weight_decay: float, lr_decay: float,
-                   steps_per_epoch: int):
-    """optax chain replicating torch.optim.Adam(weight_decay=λ) + StepLR."""
+                   steps_per_epoch: int, warmup_epochs: int = 0):
+    """optax chain replicating torch.optim.Adam(weight_decay=λ) + StepLR.
+
+    warmup_epochs > 0 adds a linear lr ramp over the first N epochs — a
+    large-batch stabilizer the reference (batch 4) never needs; 0 (the
+    default) reproduces the reference schedule exactly."""
+    spe = max(steps_per_epoch, 1)
+
     def schedule(step):
-        epoch = step // max(steps_per_epoch, 1)
-        return lr * (lr_decay ** epoch)
+        epoch = step // spe
+        out = lr * (lr_decay ** epoch)
+        if warmup_epochs:
+            import jax.numpy as jnp
+            out = out * jnp.minimum((step + 1.0) / (warmup_epochs * spe),
+                                    1.0)
+        return out
 
     return optax.chain(
         optax.add_decayed_weights(weight_decay),

@@ -124,3 +124,117 @@ def load_reference_checkpoint(path: str, model) -> tuple[dict, int]:
     if hasattr(model, "kps_encode"):
         return import_part_ae_state(state, model), epoch
     return import_spiral_ae_state(state, model), epoch
+
+
+# --- optimizer / scheduler state import --------------------------------------
+
+def _moment_dicts(opt_sd: dict, param_names: list):
+    """torch `optim.state_dict()` -> ({name: exp_avg}, {name: exp_avg_sq},
+    step_count).
+
+    The state dict's `state` keys are integer positions in the flattened
+    param_groups parameter order, which for the reference equals
+    `model.parameters()` order — and the reference model registers NO
+    buffers (models.py:10-32 keeps spiral tables as plain attributes), so
+    that order is exactly the key order of `autoencoder_state_dict`
+    (`param_names`).  Each moment tensor's shape is cross-checked against
+    its parameter's."""
+    state = opt_sd.get("state") or {}
+    exp_avg, exp_avg_sq, steps = {}, {}, []
+    for idx, st in state.items():
+        name = param_names[int(idx)]
+        ea, eas = _np(st["exp_avg"]), _np(st["exp_avg_sq"])
+        exp_avg[name] = ea
+        exp_avg_sq[name] = eas
+        s = st.get("step", 0)
+        steps.append(int(s.item() if hasattr(s, "item") else s))
+    if len(set(steps)) > 1:
+        raise ValueError(
+            f"per-parameter Adam step counts differ ({sorted(set(steps))}) "
+            "— checkpoint not from a plain full-parameter training run")
+    return exp_avg, exp_avg_sq, (steps[0] if steps else 0)
+
+
+def _build_optax_state(optimizer, params, mu, nu, adam_count: int,
+                       schedule_count: int):
+    """Assemble our optax chain state (train.optim.make_optimizer:
+    add_decayed_weights -> scale_by_adam -> scale_by_learning_rate) from
+    imported Adam moments.
+
+    adam_count drives bias correction and must be the torch step count
+    (optax count == torch `step` after the same number of updates: both
+    use count+1 in the correction of the NEXT update).  schedule_count
+    positions the per-epoch lr decay and is epoch * OUR steps_per_epoch —
+    the two differ whenever the dataset sizes differ."""
+    import jax.numpy as jnp
+    import optax
+
+    state = optimizer.init(params)
+
+    def replace(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=jnp.asarray(adam_count, jnp.int32),
+                mu=_to_jax(mu), nu=_to_jax(nu))
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(schedule_count, jnp.int32))
+        return s
+
+    return tuple(replace(s) for s in state)
+
+
+def load_reference_training_state(path: str, model, optimizer,
+                                  steps_per_epoch: int, lr_decay: float
+                                  | None = None):
+    """Load a reference `.pth.tar` for TRAINING RESUME: -> (params,
+    opt_state | None, epoch).
+
+    The reference restores `optimizer_state_dict` + `scheduler_state_dict`
+    and continues from epoch+1 (main.py:277-292; saved at
+    train_funcs.py:450-455).  Here the torch Adam `exp_avg`/`exp_avg_sq`
+    moments map onto optax's mu/nu through the SAME per-tensor layout
+    transform as the weights (transposes + zero-padded batched part heads
+    — zero pads are exact: pad weights receive zero gradient, so their
+    moments are identically zero), the torch `step` becomes the Adam
+    bias-correction count, and the checkpoint epoch positions our
+    per-epoch lr schedule.  opt_state is None when the checkpoint carries
+    no optimizer state (weights-only / finetune checkpoints).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    auto_sd = _strip_prefix(ckpt.get("autoencoder_state_dict", ckpt))
+    part = hasattr(model, "kps_encode")
+    import_fn = import_part_ae_state if part else import_spiral_ae_state
+    params = import_fn(auto_sd, model)
+    epoch = int(ckpt.get("epoch", 0))
+
+    sched_sd = ckpt.get("scheduler_state_dict") or {}
+    if lr_decay is not None and "gamma" in sched_sd:
+        gamma = float(sched_sd["gamma"])
+        if abs(gamma - lr_decay) > 1e-9:
+            import warnings
+            warnings.warn(
+                f"checkpoint scheduler gamma {gamma} != configured "
+                f"train.lr_decay {lr_decay}; resuming with the configured "
+                "value", stacklevel=2)
+
+    opt_sd = ckpt.get("optimizer_state_dict") or {}
+    opt_state = None
+    if opt_sd.get("state"):
+        exp_avg, exp_avg_sq, step_count = _moment_dicts(
+            opt_sd, list(auto_sd.keys()))
+        # params torch never stepped (no grad — e.g. heads of parts with
+        # zero coarse vertices) have NO optimizer entry; their moments are
+        # identically zero, which is also what optax produces for them
+        for name, t in auto_sd.items():
+            if name not in exp_avg:
+                z = np.zeros_like(_np(t))
+                exp_avg[name] = z
+                exp_avg_sq[name] = z
+        mu = import_fn(exp_avg, model)
+        nu = import_fn(exp_avg_sq, model)
+        opt_state = _build_optax_state(optimizer, params, mu, nu, step_count,
+                                       epoch * steps_per_epoch)
+    return params, opt_state, epoch

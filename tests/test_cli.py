@@ -191,6 +191,64 @@ def test_eval_reference_checkpoint(pipeline_dir, capsys):
     assert abs(out["l1_delta_pct"]) < 0.5
 
 
+def test_train_resume_torch(pipeline_dir):
+    """cli.train --resume_torch: continue TRAINING from a reference
+    .pth.tar carrying optimizer + scheduler state (main.py:277-292) — the
+    run must start at epoch+1 with the imported Adam moments and finish."""
+    torch = pytest.importorskip("torch")
+    from benchmarks.torch_baseline import (build_torch_model,
+                                           reference_state_dict)
+    from semantichuman_tpu.constants import KPS_INDEX_LIST, KPS_KEEP
+    from semantichuman_tpu.data.assets import BodyAssets
+    from semantichuman_tpu.topology import compile_topology
+
+    root = os.path.join(pipeline_dir, "ds")
+    assets = BodyAssets.load(os.path.join(root, "asset"),
+                             os.path.join(root, "template", "template.obj"))
+    hier = compile_topology(
+        assets.template_verts, assets.template_faces,
+        reference_vertex=min(414, len(assets.template_verts) - 1))
+    coarse = hier.downsample_part_indices(assets.part_dict)
+    torch.manual_seed(5)
+    torch_model = build_torch_model(
+        hier, coarse, KPS_INDEX_LIST,
+        enc_filters=[3, 8, 8, 16, 16], dec_filters=[16, 16, 8, 8, 8])
+
+    # a couple of real Adam steps so the checkpoint carries moments
+    opt = torch.optim.Adam(torch_model.parameters(), lr=1e-3,
+                           weight_decay=5e-5)
+    jr = assets.j_regressor.astype(np.float32)
+    v = np.load(os.path.join(root, "preprocessed",
+                             "train.npy"))[:4].astype(np.float32)
+    v = np.nan_to_num(v - np.einsum("v,bvd->bd", jr[0], v)[:, None, :])
+    x = torch.as_tensor(np.concatenate(
+        [v, np.zeros((4, 1, 3), np.float32)], axis=1))
+    kps = torch.as_tensor(
+        np.einsum("jv,bvd->bjd", jr, v)[:, KPS_KEEP].astype(np.float32))
+    for _ in range(2):
+        opt.zero_grad()
+        rec = torch_model(x, kps)[0]
+        torch.mean(torch.abs(rec - x)).backward()
+        opt.step()
+
+    ckpt = os.path.join(pipeline_dir, "resume1.pth.tar")
+    torch.save({"epoch": 1,
+                "autoencoder_state_dict": reference_state_dict(torch_model),
+                "optimizer_state_dict": opt.state_dict(),
+                "scheduler_state_dict": {"gamma": 0.99, "last_epoch": 1}},
+               ckpt)
+
+    cfg_path = os.path.join(pipeline_dir, "cfg.yaml")
+    workdir = os.path.join(pipeline_dir, "resume_run")
+    train.main(["--config", cfg_path, "--workdir", workdir,
+                "--resume_torch", ckpt, "--epochs", "2"])
+    assert os.path.exists(os.path.join(workdir, "predictions",
+                                       "predictions.npy"))
+    # resumed at epoch 2: exactly the epoch-2 checkpoint exists
+    ckpts = os.listdir(os.path.join(workdir, "checkpoints"))
+    assert "2" in ckpts and "1" not in ckpts, ckpts
+
+
 def test_convergence_runner_smoke(tmp_path):
     """tools/convergence_run.py drives segmented fit + eval + curve.jsonl
     end-to-end on the small config."""

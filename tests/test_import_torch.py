@@ -121,6 +121,139 @@ def test_full_scale_import_forward_parity():
     np.testing.assert_allclose(np.asarray(j_rec), t_rec.numpy(), atol=5e-4)
 
 
+def _torch_train_steps(torch_model, x, kps, n_steps, lr=1e-3, wd=5e-5):
+    """Run n rec-loss Adam steps on the torch model (the reference's
+    optimizer recipe, main.py:262: Adam(lr, weight_decay))."""
+    opt = torch.optim.Adam(torch_model.parameters(), lr=lr, weight_decay=wd)
+    for _ in range(n_steps):
+        opt.zero_grad()
+        rec = torch_model(torch.as_tensor(x), torch.as_tensor(kps))[0]
+        loss = torch.mean(torch.abs(rec - torch.as_tensor(x)))
+        loss.backward()
+        opt.step()
+    return opt
+
+
+def test_resume_torch_next_step_matches(small_cfg, small_hierarchy,
+                                        small_human, batch, tmp_path):
+    """TRAINING-resume parity (reference main.py:277-292): import a
+    mid-training torch checkpoint — weights AND Adam moments/step — then
+    take ONE more identical rec-loss step on both sides; the updated
+    parameters must match within fp tolerance.  This is what makes
+    carrying a half-trained reference checkpoint lossless: without the
+    moments the first resumed steps repeat Adam's cold-start transient."""
+    from semantichuman_tpu.train.optim import make_optimizer
+    from semantichuman_tpu.utils.import_torch import (
+        load_reference_training_state)
+    import jax
+    import optax
+
+    jax_model = build_model(small_cfg, small_hierarchy, small_human.part_dict)
+    coarse = small_hierarchy.downsample_part_indices(small_human.part_dict)
+    torch.manual_seed(1)
+    torch_model = build_torch_model(
+        small_hierarchy, coarse, KPS_INDEX_LIST,
+        enc_filters=[3, 8, 8, 16, 16], dec_filters=[16, 16, 8, 8, 8])
+    x, kps = batch
+    opt = _torch_train_steps(torch_model, x, kps, n_steps=3)
+
+    # save in the reference's layout: reference_state_dict preserves
+    # state_dict iteration order (buffers skipped), which equals
+    # named_parameters order — exactly the ordering the optimizer state's
+    # integer indices refer to, so no index remap is needed
+    sd = reference_state_dict(torch_model)
+    assert len([k for k, _ in torch_model.named_parameters()]) == len(sd)
+    ckpt = str(tmp_path / "checkpoint3.pth.tar")
+    torch.save({"epoch": 3,
+                "autoencoder_state_dict": sd,
+                "optimizer_state_dict": opt.state_dict(),
+                "scheduler_state_dict": {"gamma": 1.0, "last_epoch": 3}},
+               ckpt)
+
+    optimizer = make_optimizer(1e-3, 5e-5, lr_decay=1.0, steps_per_epoch=1)
+    params, opt_state, epoch = load_reference_training_state(
+        ckpt, jax_model, optimizer, steps_per_epoch=1, lr_decay=1.0)
+    assert epoch == 3
+    assert opt_state is not None
+    adam = [s for s in opt_state
+            if isinstance(s, optax.ScaleByAdamState)][0]
+    assert int(adam.count) == 3
+
+    # one more identical step on both sides
+    def loss_fn(p):
+        rec = jax_model(p, jnp.asarray(x), jnp.asarray(kps))[0]
+        return jnp.mean(jnp.abs(rec - jnp.asarray(x)))
+
+    grads = jax.grad(loss_fn)(params)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    opt.zero_grad()
+    rec = torch_model(torch.as_tensor(x), torch.as_tensor(kps))[0]
+    torch.mean(torch.abs(rec - torch.as_tensor(x))).backward()
+    opt.step()
+    want = import_part_ae_state(reference_state_dict(torch_model), jax_model)
+
+    flat_got = jax.tree_util.tree_leaves_with_path(new_params)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(want))
+    assert flat_want
+    for path, got in flat_got:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(flat_want[path]), atol=3e-5,
+            err_msg=f"param {jax.tree_util.keystr(path)}")
+
+
+def test_resume_torch_schedule_position(small_cfg, small_hierarchy,
+                                        small_human, batch, tmp_path):
+    """The imported state must position BOTH counters correctly: Adam's
+    bias-correction count = the torch step, and the lr-schedule count =
+    epoch * OUR steps_per_epoch (the two differ when dataset sizes
+    differ)."""
+    from semantichuman_tpu.train.optim import make_optimizer
+    from semantichuman_tpu.utils.import_torch import (
+        load_reference_training_state)
+    import optax
+
+    jax_model = build_model(small_cfg, small_hierarchy, small_human.part_dict)
+    coarse = small_hierarchy.downsample_part_indices(small_human.part_dict)
+    torch.manual_seed(2)
+    torch_model = build_torch_model(
+        small_hierarchy, coarse, KPS_INDEX_LIST,
+        enc_filters=[3, 8, 8, 16, 16], dec_filters=[16, 16, 8, 8, 8])
+    x, kps = batch
+    opt = _torch_train_steps(torch_model, x, kps, n_steps=5)
+    ckpt = str(tmp_path / "checkpoint7.pth.tar")
+    torch.save({"epoch": 7,
+                "autoencoder_state_dict": reference_state_dict(torch_model),
+                "optimizer_state_dict": opt.state_dict(),
+                "scheduler_state_dict": {"gamma": 0.9, "last_epoch": 7}},
+               ckpt)
+
+    optimizer = make_optimizer(1e-3, 5e-5, lr_decay=0.9, steps_per_epoch=4)
+    with pytest.warns(UserWarning, match="gamma"):
+        _, opt_state, epoch = load_reference_training_state(
+            ckpt, jax_model, optimizer, steps_per_epoch=4, lr_decay=0.95)
+    assert epoch == 7
+    adam = [s for s in opt_state if isinstance(s, optax.ScaleByAdamState)][0]
+    sched = [s for s in opt_state
+             if isinstance(s, optax.ScaleByScheduleState)][0]
+    assert int(adam.count) == 5              # torch steps taken
+    assert int(sched.count) == 7 * 4         # epoch * our steps_per_epoch
+    # moments actually landed (not zeros)
+    assert float(jnp.max(jnp.abs(adam.mu["conv"][0]["w"]))) > 0
+
+    # weights-only checkpoint -> opt_state None
+    ckpt2 = str(tmp_path / "weights_only.pth.tar")
+    torch.save({"epoch": 7,
+                "autoencoder_state_dict":
+                    reference_state_dict(torch_model),
+                "optimizer_state_dict": {},
+                "scheduler_state_dict": {}}, ckpt2)
+    _, opt_state2, _ = load_reference_training_state(
+        ckpt2, jax_model, optimizer, steps_per_epoch=4)
+    assert opt_state2 is None
+
+
 def test_import_rejects_wrong_part_layout(pair, small_hierarchy,
                                           small_human):
     jax_model, torch_model = pair
