@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--resume", default=None,
                     help="checkpoint dir (default: <workdir>/checkpoints)")
+    ap.add_argument("--checkpoint_torch", default=None,
+                    help="run the demo directly off a reference .pth.tar "
+                         "instead of an Orbax checkpoint dir")
     ap.add_argument("--out", default=None,
                     help="edit output dir (default: <workdir>/edits)")
     ap.add_argument("--n_samples", type=int, default=4)
@@ -42,8 +45,12 @@ def main(argv=None):
     from ..train.loop import Trainer
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
-    resume = args.resume or os.path.join(args.workdir, "checkpoints")
-    repl = {"resume": resume, "finetune": True}
+    if args.checkpoint_torch:
+        repl = {"resume": None, "resume_torch": args.checkpoint_torch,
+                "finetune": True}
+    else:
+        resume = args.resume or os.path.join(args.workdir, "checkpoints")
+        repl = {"resume": resume, "finetune": True}
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, **repl))
     if args.synthetic:

@@ -203,3 +203,112 @@ def test_plane_girth_circle():
     assert girth == pytest.approx(2 * np.pi * r, rel=5e-3)
     np.testing.assert_allclose(pts[:, 2], 0.3, atol=1e-9)
     assert sorted(order.tolist()) == list(range(n_edges))
+
+
+# --- hostile real-asset loading (VERDICT r2 item 3) ---------------------------
+
+@pytest.fixture()
+def asset_dir(tmp_path, small_human):
+    """A well-formed on-disk asset bundle (the make_synthetic layout)."""
+    from semantichuman_tpu.topology.adjacency import unique_edges
+    from semantichuman_tpu.topology.obj_io import save_obj
+
+    sh = small_human
+    adir = tmp_path / "asset"
+    adir.mkdir()
+    np.save(adir / "J_regressor.npy", sh.J_regressor)
+    np.save(adir / "vert_part_index_dict.npy",
+            np.asarray(sh.part_dict, dtype=object))
+    np.save(adir / "factor_list.npy",
+            np.asarray(sh.girth_factors, dtype=object))
+    np.save(adir / "edge_point_index_list.npy",
+            np.asarray(sh.girth_edges, dtype=object))
+    np.save(adir / "edge_verts_index.npy",
+            unique_edges(sh.template_faces))
+    tpl = tmp_path / "template.obj"
+    save_obj(str(tpl), sh.template_verts, sh.template_faces)
+    return str(adir), str(tpl)
+
+
+def _load(asset_dir_tpl):
+    from semantichuman_tpu.data.assets import BodyAssets
+    return BodyAssets.load(*asset_dir_tpl)
+
+
+def test_assets_load_clean(asset_dir, small_human):
+    a = _load(asset_dir)
+    assert a.j_regressor.shape == small_human.J_regressor.shape
+    assert a.j_regressor.dtype == np.float32
+    assert len(a.part_dict) == len(small_human.part_dict)
+    assert len(a.girth_edges) == len(small_human.girth_edges)
+    assert a.edge_verts.shape[1] == 2
+
+
+def test_assets_sparse_object_j_regressor(asset_dir, small_human):
+    """The real SMPL J_regressor ships as a scipy sparse matrix pickled
+    inside a 0-d object array — np.asarray on it yields a useless 0-d
+    object scalar; the loader must densify it."""
+    import scipy.sparse as sp
+    adir, tpl = asset_dir
+    wrapped = np.empty((), dtype=object)
+    wrapped[()] = sp.csc_matrix(small_human.J_regressor)
+    np.save(os.path.join(adir, "J_regressor.npy"), wrapped,
+            allow_pickle=True)
+    a = _load((adir, tpl))
+    np.testing.assert_allclose(a.j_regressor,
+                               small_human.J_regressor.astype(np.float32),
+                               atol=1e-6)
+
+
+def test_assets_bare_sparse_j_regressor(asset_dir, small_human):
+    """A directly-pickled sparse matrix (np.save wraps it itself)."""
+    import scipy.sparse as sp
+    adir, tpl = asset_dir
+    np.save(os.path.join(adir, "J_regressor.npy"),
+            sp.csr_matrix(small_human.J_regressor), allow_pickle=True)
+    a = _load((adir, tpl))
+    np.testing.assert_allclose(a.j_regressor,
+                               small_human.J_regressor.astype(np.float32),
+                               atol=1e-6)
+
+
+def test_assets_wrong_shape_j_regressor(asset_dir, small_human):
+    adir, tpl = asset_dir
+    np.save(os.path.join(adir, "J_regressor.npy"),
+            small_human.J_regressor[:, :-3])
+    with pytest.raises(ValueError, match="J_regressor.npy"):
+        _load((adir, tpl))
+
+
+def test_assets_out_of_range_part_index(asset_dir, small_human):
+    adir, tpl = asset_dir
+    bad = dict(small_human.part_dict)
+    first = next(iter(bad))
+    bad[first] = np.append(np.asarray(bad[first]),
+                           len(small_human.template_verts) + 5)
+    np.save(os.path.join(adir, "vert_part_index_dict.npy"),
+            np.asarray(bad, dtype=object))
+    with pytest.raises(ValueError, match="outside"):
+        _load((adir, tpl))
+
+
+def test_assets_nested_list_girth_tables(asset_dir, small_human):
+    """Girth tables saved as plain nested Python lists (not object arrays
+    of ndarrays) must load identically."""
+    adir, tpl = asset_dir
+    np.save(os.path.join(adir, "factor_list.npy"),
+            np.asarray([list(map(list, np.asarray(f, dtype=float)))
+                        for f in small_human.girth_factors], dtype=object),
+            allow_pickle=True)
+    a = _load((adir, tpl))
+    for got, want in zip(a.girth_factors, small_human.girth_factors):
+        np.testing.assert_allclose(np.asarray(got, dtype=np.float64),
+                                   np.asarray(want, dtype=np.float64))
+
+
+def test_assets_mismatched_girth_tables(asset_dir, small_human):
+    adir, tpl = asset_dir
+    np.save(os.path.join(adir, "factor_list.npy"),
+            np.asarray(small_human.girth_factors[:-2], dtype=object))
+    with pytest.raises(ValueError, match="girth tables"):
+        _load((adir, tpl))
