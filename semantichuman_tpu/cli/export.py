@@ -23,7 +23,12 @@ def main(argv=None):
                     help="checkpoint dir (default: <workdir>/checkpoints)")
     ap.add_argument("--out", default=None,
                     help="bundle dir (default: <workdir>/bundle)")
-    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=64,
+                    help="fallback fixed batch (artifacts are "
+                         "batch-polymorphic unless --fixed_batch)")
+    ap.add_argument("--fixed_batch", action="store_true",
+                    help="export fixed-batch artifacts instead of "
+                         "symbolic-batch ones")
     ap.add_argument("--synthetic", action="store_true")
     args = ap.parse_args(argv)
 
@@ -75,7 +80,8 @@ def main(argv=None):
     out = args.out or os.path.join(args.workdir, "bundle")
     manifest = export_inference(model, state["params"],
                                 assets.j_regressor, out,
-                                batch_size=args.batch_size)
+                                batch_size=args.batch_size,
+                                symbolic_batch=not args.fixed_batch)
     for name, meta in manifest["artifacts"].items():
         print(f"{name}: {meta['file']} (platforms {meta['platforms']})")
     print(f"bundle written to {out}")

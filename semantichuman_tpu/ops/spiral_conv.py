@@ -50,7 +50,11 @@ def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     b, _, c = x.shape
-    if c <= 4 and b >= 32:
+    # `b >= 32` must stay False for a SYMBOLIC batch dim (jax.export shape
+    # polymorphism: the comparison is inconclusive, and the batch-major
+    # path below is shape-polymorphic while this layout flip keys on a
+    # concrete batch)
+    if c <= 4 and isinstance(b, int) and b >= 32:
         # narrow-channel convs gather 6-16 BYTE granules in batch-major
         # layout; flipping to vertex-major makes each gathered row B·C
         # contiguous elements (measured 1.39x fwd+bwd at the production

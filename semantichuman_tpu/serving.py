@@ -32,9 +32,24 @@ def _spec(shape, dtype=jnp.float32):
 
 def export_inference(model, params, j_regressor, out_dir: str,
                      batch_size: int = 1,
-                     platforms: tuple | None = None) -> dict:
-    """Export forward/encode/decode for a fixed batch size. Returns the
-    manifest (also written to out_dir/manifest.json)."""
+                     platforms: tuple | None = None,
+                     symbolic_batch: bool = True) -> dict:
+    """Export forward/encode/decode artifacts.  Returns the manifest (also
+    written to out_dir/manifest.json).
+
+    By default the batch dimension is exported SYMBOLIC (jax.export shape
+    polymorphism): one `.shlo` artifact serves every batch size — the
+    loader specializes (compiles) per concrete batch on first use, so a
+    serving fleet ships one artifact instead of one per bucket.  When the
+    model fails to lower polymorphically, exporting falls back to the
+    fixed `batch_size` (recorded in the manifest as symbolic_batch:
+    false).
+
+    Tradeoff: the symbolic trace cannot take the vertex-major layout of
+    the narrow-channel input conv (ops.spiral_conv keys it on a concrete
+    batch >= 32); pass symbolic_batch=False for a large fixed batch when
+    that last measured ~1.4x on the 3-channel level matters more than
+    one-artifact deployment (per-batch numbers: docs/BENCHMARKS.md)."""
     os.makedirs(out_dir, exist_ok=True)
     jreg = jnp.asarray(np.asarray(j_regressor, np.float32))
     keep = jnp.asarray(np.asarray(KPS_KEEP, np.int32))
@@ -58,23 +73,43 @@ def export_inference(model, params, j_regressor, out_dir: str,
         dummy = jnp.zeros((z.shape[0], 1, c), jnp.float32)
         return model.decode(params, z, z_kps, dummy)[:, :-1]
 
-    exports = {
-        "forward": (forward, (_spec((batch_size, v1, 3)),)),
-        "encode": (encode, (_spec((batch_size, v1, 3)),)),
-        "decode": (decode, (_spec((batch_size, p, nz)),
-                            _spec((batch_size, p, nk)))),
-    }
-    manifest = {"batch_size": batch_size, "n_vertices": v1 - 1,
+    def run_exports(b):
+        exports = {
+            "forward": (forward, (_spec((b, v1, 3)),)),
+            "encode": (encode, (_spec((b, v1, 3)),)),
+            "decode": (decode, (_spec((b, p, nz)), _spec((b, p, nk)))),
+        }
+        out = {}
+        for name, (fn, specs) in exports.items():
+            out[name] = (jexport.export(jax.jit(fn), **kw)(*specs), specs)
+        return out
+
+    arts, sym = None, False
+    if symbolic_batch:
+        try:
+            (bdim,) = jexport.symbolic_shape("b")
+            arts = run_exports(bdim)
+            sym = True
+        except Exception as e:
+            import warnings
+            warnings.warn(f"symbolic-batch export failed ({e!r}); "
+                          f"falling back to fixed batch {batch_size}",
+                          stacklevel=2)
+    if arts is None:
+        arts = run_exports(batch_size)
+
+    manifest = {"batch_size": None if sym else batch_size,
+                "symbolic_batch": sym, "n_vertices": v1 - 1,
                 "n_parts": p, "nz": nz, "nk": nk, "artifacts": {}}
-    for name, (fn, specs) in exports.items():
-        exp = jexport.export(jax.jit(fn), **kw)(*specs)
+    for name, (exp, specs) in arts.items():
         path = os.path.join(out_dir, f"{name}.shlo")
         with open(path, "wb") as f:
             f.write(exp.serialize())
         manifest["artifacts"][name] = {
             "file": f"{name}.shlo",
             "platforms": list(exp.platforms),
-            "in_shapes": [list(s.shape) for s in specs],
+            "in_shapes": [[d if isinstance(d, int) else str(d)
+                           for d in s.shape] for s in specs],
         }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)

@@ -59,3 +59,37 @@ def test_unknown_artifact_raises(bundle):
     _m, _p, served, _ = bundle
     with pytest.raises(AttributeError, match="no artifact"):
         served.nonexistent
+
+
+def test_symbolic_batch_one_artifact_many_sizes(bundle, small_human):
+    """VERDICT r2 item 7: ONE exported artifact must serve any batch size
+    (jax.export shape polymorphism on the batch dim)."""
+    model, params, served, manifest = bundle
+    assert manifest["symbolic_batch"] is True
+    assert manifest["artifacts"]["forward"]["in_shapes"][0][0] == "b"
+    for b in (1, 3, 5):
+        m = small_human.sample_meshes(b, seed=b).astype(np.float32)
+        v = np.concatenate([m, np.zeros((b, 1, 3), np.float32)], axis=1)
+        kps_full = np.einsum("jv,bvd->bjd",
+                             small_human.J_regressor.astype(np.float32),
+                             v[:, :-1])
+        live = model(params, jnp.asarray(v),
+                     jnp.asarray(kps_full[:, KPS_KEEP]))
+        rec, z, zk = served.forward(jnp.asarray(v))
+        assert rec.shape[0] == b
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(live[0]),
+                                   atol=1e-5)
+
+
+def test_fixed_batch_fallback_flag(small_cfg, small_hierarchy, small_human,
+                                   tmp_path):
+    """symbolic_batch=False still produces fixed-shape artifacts."""
+    from semantichuman_tpu.serving import export_inference
+    model = build_model(small_cfg, small_hierarchy, small_human.part_dict)
+    params = model.init(0)
+    out = str(tmp_path / "fixed")
+    manifest = export_inference(model, params, small_human.J_regressor, out,
+                                batch_size=2, symbolic_batch=False)
+    assert manifest["symbolic_batch"] is False
+    assert manifest["batch_size"] == 2
+    assert manifest["artifacts"]["forward"]["in_shapes"][0][0] == 2
