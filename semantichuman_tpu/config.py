@@ -130,6 +130,9 @@ class TrainConfig:
     resume_torch: Optional[str] = None
     finetune: bool = False            # load weights only, restart schedule
     eval_flag: bool = True
+    # run the val pass every N epochs (1 = reference behavior; raising it
+    # removes ~0.2-0.3 s/epoch of eval stall from fast large-batch recipes)
+    val_every: int = 1
     save_recons: bool = True
     # parallelism
     data_parallel: bool = True        # shard batch over all local devices

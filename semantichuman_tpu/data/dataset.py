@@ -283,8 +283,18 @@ class BatchLoader:
             batch["global_idx"] = global_idx
             yield batch
 
-    def cycle(self):
-        """Endless iterator (the interp/exc loaders never exhaust)."""
+    # each train epoch gets its own disjoint block of shuffle-seed epochs
+    # for the endless interp/exc cycle, so a training run RESUMED at epoch
+    # E draws exactly what the uninterrupted run drew in epoch E (the
+    # free-running epoch bump is host state no checkpoint carries)
+    EPOCH_ANCHOR_STRIDE = 1 << 16
+
+    def cycle(self, anchor: int | None = None):
+        """Endless iterator (the interp/exc loaders never exhaust).
+        anchor=E makes the draw sequence a pure function of E (per-epoch
+        deterministic, resume-safe) instead of carrying over."""
+        if anchor is not None:
+            self.epoch = anchor * self.EPOCH_ANCHOR_STRIDE
         while True:
             yield from self
             self.epoch += 1

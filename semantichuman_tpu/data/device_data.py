@@ -158,15 +158,18 @@ class DeviceBatchLoader:
         for meta in self.loader.iter_indices():
             yield self.source.take(meta)
 
-    def meta_cycle(self):
+    def meta_cycle(self, anchor: int | None = None):
         """Endless index-metadata schedule (seeded draw order + epoch
         bumping).  This is THE batch schedule: cycle() materializes it, and
         the epoch-scan path (train.loop) consumes it directly — one object,
-        so draw-order parity between the two paths is structural."""
+        so draw-order parity between the two paths is structural.  anchor
+        has BatchLoader.cycle's resume-safe per-epoch semantics."""
+        if anchor is not None:
+            self.loader.epoch = anchor * self.loader.EPOCH_ANCHOR_STRIDE
         while True:
             yield from self.loader.iter_indices()
             self.loader.epoch += 1
 
-    def cycle(self):
-        for meta in self.meta_cycle():
+    def cycle(self, anchor: int | None = None):
+        for meta in self.meta_cycle(anchor):
             yield self.source.take(meta)

@@ -41,8 +41,20 @@ class EditSampler:
         self.noleaf_flag = noleaf_flag
         self.editskl_flag = editskl_flag
         self.exc_mode = exc_mode
+        self.seed = seed
         self.py_rng = random.Random(seed)
         self.np_rng = np.random.default_rng(seed)
+
+    def reseed(self, epoch: int):
+        """Per-epoch deterministic RNG: the specs drawn in epoch E are a
+        pure function of (seed, E), so a training run resumed from a
+        checkpoint at epoch E-1 replays exactly what the uninterrupted run
+        drew — free-running RNG state is host state no checkpoint carries.
+        (The reference resumes with whatever global RNG state the process
+        happens to have, main.py:277-292 — a deliberate improvement.)"""
+        mixed = (self.seed + 1) * (1 << 24) + epoch
+        self.py_rng = random.Random(mixed)
+        self.np_rng = np.random.default_rng(mixed)
 
     # --- interp branch --------------------------------------------------------
     def sample_interp(self, epoch: int, batch_size: int,

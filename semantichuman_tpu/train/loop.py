@@ -457,12 +457,18 @@ class Trainer:
         if self.start_epoch == 1 and cfg.train.save_recons and self._is_main:
             self.dump_part_template()
         use_scan = self._epoch_scan_ok()
-        # both paths consume the SAME schedule object (DeviceBatchLoader
-        # .meta_cycle / cycle share it), so draw order can't diverge
-        interp_iter = (self.interp_loader.meta_cycle() if use_scan
-                       else self.interp_loader.cycle())
         for epoch in range(self.start_epoch, n_epochs + 1):
             self.train_loader.set_epoch(epoch)
+            # per-epoch deterministic state: the edit-spec RNG and the
+            # interp/exc schedule are pure functions of the epoch number,
+            # so resume-at-E replays the uninterrupted run's epoch E
+            # exactly.  Both paths consume the SAME schedule object
+            # (DeviceBatchLoader.meta_cycle / cycle), so draw order can't
+            # diverge between the scan and step-loop paths either.
+            self.sampler.reseed(epoch)
+            interp_iter = (self.interp_loader.meta_cycle(anchor=epoch)
+                           if use_scan
+                           else self.interp_loader.cycle(anchor=epoch))
             t0 = time.time()
             if use_scan:
                 epoch_tloss, metrics, last_batch = self._run_epoch_scan(
@@ -472,12 +478,17 @@ class Trainer:
                     epoch, interp_iter)
             if self._is_main:
                 self.logger.log(self.global_step, metrics)
-            vloss = self.validate()
+            do_val = (epoch % max(cfg.train.val_every, 1) == 0
+                      or epoch == n_epochs)
+            vloss = self.validate() if do_val else None
             if self._is_main:
-                self.logger.log(epoch, {"epoch_train": epoch_tloss,
-                                        "epoch_val": vloss}, prefix="epoch")
+                ep_metrics = {"epoch_train": epoch_tloss}
+                if vloss is not None:
+                    ep_metrics["epoch_val"] = vloss
+                self.logger.log(epoch, ep_metrics, prefix="epoch")
+                vtxt = "-" if vloss is None else f"{vloss:.6f}"
                 print(f"epoch {epoch} | tr {epoch_tloss:.6f} "
-                      f"| val {vloss:.6f} | {time.time() - t0:.1f}s",
+                      f"| val {vtxt} | {time.time() - t0:.1f}s",
                       flush=True)
 
             if epoch % cfg.train.ck_frequency == 0:

@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--devices", type=int, required=True,
                     help="virtual CPU devices for THIS process")
     ap.add_argument("--workdir", required=True)
+    ap.add_argument("--epochs", type=int, default=1,
+                    help="train through this epoch (inclusive)")
+    ap.add_argument("--ck_frequency", type=int, default=100)
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir to resume from (lifecycle test)")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -50,17 +55,38 @@ def main():
         "data": {"synthetic": True, "synthetic_train": 16,
                  "synthetic_test": 8, "synthetic_n_theta": 16,
                  "synthetic_n_phi": 36, "normalization": "zeroroot"},
-        "train": {"n_epochs": 1, "batch_train": 8, "batch_interp": 8,
-                  "batch_test": 8, "ck_frequency": 100,
-                  "save_recons": False},
+        "train": {"n_epochs": args.epochs, "batch_train": 8,
+                  "batch_interp": 8, "batch_test": 8,
+                  "ck_frequency": args.ck_frequency,
+                  "save_recons": False, "resume": args.resume},
     })
     trainer = Trainer(cfg, args.workdir)
+    start = trainer.start_epoch
     trainer.fit()
     val = trainer.validate()
-    param_sum = float(sum(
-        jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(trainer.params)))
+
+    import numpy as np
+
+    def _host(x):
+        """Local replica of a (possibly non-fully-addressable) param."""
+        try:
+            return np.asarray(x.addressable_data(0))
+        except (AttributeError, IndexError):
+            return np.asarray(x)
+
+    leaves = [_host(x) for x in jax.tree.leaves(trainer.params)]
+    param_sum = float(sum(np.sum(np.abs(l)) for l in leaves))
+    # a parameter FINGERPRINT (position-sensitive, not just the sum) so the
+    # lifecycle test can assert exact state equality between resumed and
+    # uninterrupted runs
+    fingerprint = float(sum(
+        np.sum(l * np.cos(np.arange(l.size, dtype=np.float32)
+                          .reshape(l.shape) * 0.37))
+        for l in leaves))
     print(json.dumps({"rank": args.rank, "val": val,
-                      "param_sum": param_sum}), flush=True)
+                      "param_sum": param_sum,
+                      "fingerprint": fingerprint,
+                      "start_epoch": start}), flush=True)
 
 
 if __name__ == "__main__":

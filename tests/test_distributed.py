@@ -74,3 +74,50 @@ def test_two_process_train_matches_single_process(tmp_path):
     assert multi[0]["val"] == pytest.approx(single["val"], rel=1e-6)
     assert multi[0]["param_sum"] == pytest.approx(single["param_sum"],
                                                   rel=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_lifecycle_save_resume(tmp_path):
+    """The TRAINING LIFECYCLE across processes (VERDICT r2 item 6): train
+    epoch 1 on 2 processes with a checkpoint save, kill both, resume both
+    from the shared checkpoint, finish epoch 2 — and the final parameters
+    must equal the uninterrupted single-process 8-device 2-epoch run.
+
+    Exactness rests on the per-epoch deterministic schedule/RNG state
+    (train.loop / train.edits.reseed): everything epoch 2 draws is a pure
+    function of the epoch number, so the resumed processes replay it."""
+    shared = str(tmp_path / "mh_shared")
+
+    def run_pair(args):
+        port = _free_port()
+        coord = f"localhost:{port}"
+        procs = [
+            _run(["--rank", str(r), "--num_processes", "2",
+                  "--coordinator", coord, "--devices", "4", *args], shared)
+            for r in range(2)
+        ]
+        return [_result(p) for p in procs]
+
+    # epoch 1 + checkpoint, then the processes die (exit)
+    phase1 = run_pair(["--epochs", "1", "--ck_frequency", "1"])
+    assert all(r["start_epoch"] == 1 for r in phase1)
+
+    # fresh processes resume from the shared checkpoint and finish epoch 2
+    ckpt_dir = os.path.join(shared, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "1"))
+    phase2 = run_pair(["--epochs", "2", "--ck_frequency", "1",
+                       "--resume", ckpt_dir])
+    assert all(r["start_epoch"] == 2 for r in phase2)
+
+    # the uninterrupted single-process 8-device run of the same 2 epochs
+    single = _result(_run(["--devices", "8", "--epochs", "2"],
+                          str(tmp_path / "sp2")))
+
+    # both ranks agree bit-for-bit; the resumed run equals uninterrupted
+    assert phase2[0]["fingerprint"] == pytest.approx(
+        phase2[1]["fingerprint"], rel=1e-12)
+    assert phase2[0]["val"] == pytest.approx(single["val"], rel=1e-6)
+    assert phase2[0]["param_sum"] == pytest.approx(single["param_sum"],
+                                                  rel=1e-6)
+    assert phase2[0]["fingerprint"] == pytest.approx(single["fingerprint"],
+                                                     rel=1e-5)

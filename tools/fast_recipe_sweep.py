@@ -47,7 +47,8 @@ def run_variant(tag: str, workdir: str, lr: float, batch: int, epochs: int,
         train=dataclasses.replace(
             cfg.train, n_epochs=epochs, lr=lr, lr_decay=lr_decay,
             lr_warmup_epochs=warmup, batch_train=batch, batch_interp=batch,
-            batch_test=64, ck_frequency=10_000, save_recons=False))
+            batch_test=64, ck_frequency=10_000, save_recons=False,
+            val_every=25))
     wd = os.path.join(workdir, tag)
     os.makedirs(wd, exist_ok=True)
     curve_path = os.path.join(wd, "curve.jsonl")
