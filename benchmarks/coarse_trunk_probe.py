@@ -1,0 +1,172 @@
+"""Probe: spiral gather/scatter as one-hot MXU matmuls (per level, fwd+bwd).
+
+VERDICT r2 item 4 asked for ONE bounded experiment on the coarse-trunk /
+backward-scatter cost before closing the kernel question.  The literal
+proposal — fuse levels 2-4 into a single Pallas program with in-VMEM
+gathers — is excluded by arithmetic before any measurement:
+  * Mosaic rejects vectorized in-VMEM gathers ("multiple source vregs
+    along gather dimension") at ANY real V (r2 probe record,
+    ops/pallas/spiral_conv_pallas.py), so the "index op" form cannot
+    lower;
+  * the only in-VMEM gather that CAN lower is a one-hot matmul, and the
+    level-2 one-hot table ([V1*S, V1] = [13800, 1725] bf16 = 47.6 MB)
+    alone exceeds the ~16 MB VMEM budget.
+
+What CAN attack the measured cost (trunk backward = 3.1x forward, bound
+by XLA scatter-add at ~100 ns/row, batch-independent) is the same
+one-hot formulation at the XLA level: gather = G @ x with G a [V1*S, V1]
+one-hot bf16 matrix.  The VJP is then G^T @ dy — ANOTHER MXU matmul —
+so the backward's per-row scatter floor disappears entirely.  The trade
+is FLOPs (factor ~V1/C_out over the direct conv matmul) for rows, which
+should win exactly where the VERDICT pointed: small batch, where the
+row floor dominates and the MXU idles.
+
+This probe measures fwd+bwd of each encoder level's conv (paper filter
+plan) in both formulations at B=4 and B=128, bf16 compute, on the real
+full-scale topology.  Timing uses jitted multi-iteration loops with a
+data dependency (naive re-run loops overlap on the axon remote platform
+— see docs/BENCHMARKS.md).
+
+  python benchmarks/coarse_trunk_probe.py          # full (B=4 and 128)
+  SH_TPU_PROBE_B=4 python benchmarks/coarse_trunk_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ITERS = int(os.environ.get("SH_TPU_PROBE_ITERS", "10"))
+
+
+def onehot_table(spiral_idx: np.ndarray) -> np.ndarray:
+    """[V1, S] spiral table -> [V1*S, V1] one-hot bf16 selection matrix."""
+    import jax.numpy as jnp
+
+    v1, s = spiral_idx.shape
+    g = np.zeros((v1 * s, v1), np.float32)
+    g[np.arange(v1 * s), np.asarray(spiral_idx).reshape(-1)] = 1.0
+    return jnp.asarray(g, jnp.bfloat16)
+
+
+def onehot_conv(x, G, s, w, bias, activation="elu", compute_dtype=None):
+    """spiral_conv with the gather as a one-hot matmul (selection is exact:
+    each output row sums exactly one bf16 product of a 1.0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantichuman_tpu.ops.spiral_conv import ACTIVATIONS
+
+    act = ACTIVATIONS[activation]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    b, v1, c = x.shape
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
+    g = jnp.dot(G.astype(x.dtype), xp,
+                preferred_element_type=x.dtype)          # [V1*S, B*C]
+    g = g.reshape(v1, s, b, c).transpose(2, 0, 1, 3).reshape(b, v1, s * c)
+    y = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    y = act(y + bias.astype(y.dtype))
+    return y.at[:, -1, :].set(0.0)
+
+
+def _timed_grad(fn, args, iters=ITERS):
+    """sec/iter of grad(fn) chained through a data dependency.  All device
+    operands ride as ARGUMENTS (closures over large device arrays inside
+    jit ship them as compile-request constants and fail the remote
+    compile — docs/BENCHMARKS.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    def loss(x, *rest):
+        return jnp.sum(jnp.abs(fn(x, *rest)))
+
+    g = jax.grad(loss)
+
+    @jax.jit
+    def chain(x, *rest):
+        def body(carry, _):
+            y = g(carry, *rest)
+            # data dependency: next iteration consumes this one's output
+            return carry + 1e-12 * y, ()
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return out
+
+    r = chain(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = chain(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from semantichuman_tpu.utils.compilation_cache import enable_cache
+    enable_cache()
+    from semantichuman_tpu.ops.spiral_conv import spiral_conv
+    from semantichuman_tpu.topology.compiler import MeshHierarchy
+
+    hier = MeshHierarchy.load(os.path.join(REPO, "assets",
+                                           "topology_synth_full_2222.npz"))
+    enc_filters = [3, 16, 32, 64, 128]
+    batches = ([int(os.environ["SH_TPU_PROBE_B"])]
+               if "SH_TPU_PROBE_B" in os.environ else [4, 128])
+
+    rng = np.random.default_rng(0)
+    out = {"device": str(jax.devices()[0].device_kind), "levels": []}
+    for lvl in range(len(hier.spirals)):
+        sp = np.asarray(hier.spirals[lvl])
+        v1, s = sp.shape
+        c_in = enc_filters[lvl] if lvl < len(enc_filters) - 1 else enc_filters[-1]
+        c_out = (enc_filters[lvl + 1] if lvl < len(enc_filters) - 1
+                 else enc_filters[-1])
+        w = jnp.asarray(rng.standard_normal((s * c_in, c_out)) * 0.05,
+                        jnp.float32)
+        bias = jnp.zeros((c_out,), jnp.float32)
+        sp_j = jnp.asarray(sp)
+        G = onehot_table(sp)
+        rec = {"level": lvl, "v1": int(v1), "s": int(s), "c_in": c_in,
+               "c_out": c_out,
+               "G_mb": round(G.size * 2 / 1e6, 1), "by_batch": {}}
+        for b in batches:
+            x = jnp.asarray(rng.standard_normal((b, v1, c_in)), jnp.float32)
+            t_take = _timed_grad(
+                lambda xx, spx, wx, bx: spiral_conv(
+                    xx, spx, wx, bx, "elu", compute_dtype=jnp.bfloat16),
+                (x, sp_j, w, bias))
+            t_oh = _timed_grad(
+                lambda xx, gx, wx, bx: onehot_conv(
+                    xx, gx, s, wx, bx, "elu", compute_dtype=jnp.bfloat16),
+                (x, G, w, bias))
+            # correctness cross-check (fwd)
+            y1 = spiral_conv(x, sp_j, w, bias, "elu",
+                             compute_dtype=jnp.bfloat16)
+            y2 = onehot_conv(x, G, s, w, bias, "elu",
+                             compute_dtype=jnp.bfloat16)
+            err = float(jnp.max(jnp.abs(y1 - y2)))
+            rec["by_batch"][str(b)] = {
+                "take_ms": round(t_take * 1e3, 3),
+                "onehot_ms": round(t_oh * 1e3, 3),
+                "speedup": round(t_take / t_oh, 2),
+                "max_abs_err": err,
+            }
+            print(f"L{lvl} B={b}: take {t_take*1e3:.2f} ms  "
+                  f"onehot {t_oh*1e3:.2f} ms  "
+                  f"({t_take/t_oh:.2f}x)  err {err:.2e}", flush=True)
+        out["levels"].append(rec)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
