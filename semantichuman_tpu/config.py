@@ -142,6 +142,11 @@ class TrainConfig:
     # and zero per-step host work; steady-state throughput is unchanged on
     # the v5e (the small-batch step is row-floor-bound, not dispatch-bound)
     epoch_scan: bool = True
+    # fuse up to N consecutive epochs into one scan dispatch (clipped at
+    # val/checkpoint/sample/flag boundaries).  1 = one dispatch per epoch;
+    # raise for fast small-epoch recipes where per-dispatch overhead
+    # (~0.3 s on a remote-tunnel host) dominates the epoch
+    scan_epochs: int = 1
     log_every: int = 0                # extra step-level logging (0 = per-epoch)
     # profiling: capture a jax.profiler trace of global steps [start, stop)
     profile_start: int = 0

@@ -457,47 +457,76 @@ class Trainer:
         if self.start_epoch == 1 and cfg.train.save_recons and self._is_main:
             self.dump_part_template()
         use_scan = self._epoch_scan_ok()
-        for epoch in range(self.start_epoch, n_epochs + 1):
-            self.train_loader.set_epoch(epoch)
-            # per-epoch deterministic state: the edit-spec RNG and the
-            # interp/exc schedule are pure functions of the epoch number,
-            # so resume-at-E replays the uninterrupted run's epoch E
-            # exactly.  Both paths consume the SAME schedule object
-            # (DeviceBatchLoader.meta_cycle / cycle), so draw order can't
-            # diverge between the scan and step-loop paths either.
-            self.sampler.reseed(epoch)
-            interp_iter = (self.interp_loader.meta_cycle(anchor=epoch)
-                           if use_scan
-                           else self.interp_loader.cycle(anchor=epoch))
+        epoch = self.start_epoch
+        while epoch <= n_epochs:
             t0 = time.time()
             if use_scan:
-                epoch_tloss, metrics, last_batch = self._run_epoch_scan(
-                    epoch, interp_iter)
+                # train.scan_epochs > 1 fuses consecutive epochs into ONE
+                # lax.scan dispatch (clipped at every flag-change /
+                # val / checkpoint / sample boundary) — on a remote-tunnel
+                # host the per-dispatch overhead (~0.3 s) otherwise
+                # dominates small fast-recipe epochs
+                e1 = self._scan_chunk_end(epoch, n_epochs)
+                tlosses, metrics, last_batch = self._run_scan_chunk(
+                    epoch, e1)
             else:
-                epoch_tloss, metrics, last_batch = self._run_epoch_steps(
+                e1 = epoch
+                # per-epoch deterministic state: the edit-spec RNG and the
+                # interp/exc schedule are pure functions of the epoch
+                # number, so resume-at-E replays the uninterrupted run's
+                # epoch E exactly (the scan path does the same per chunked
+                # epoch inside _run_scan_chunk)
+                self.train_loader.set_epoch(epoch)
+                self.sampler.reseed(epoch)
+                interp_iter = self.interp_loader.cycle(anchor=epoch)
+                tl, metrics, last_batch = self._run_epoch_steps(
                     epoch, interp_iter)
+                tlosses = [tl]
             if self._is_main:
                 self.logger.log(self.global_step, metrics)
-            do_val = (epoch % max(cfg.train.val_every, 1) == 0
-                      or epoch == n_epochs)
-            vloss = self.validate() if do_val else None
-            if self._is_main:
-                ep_metrics = {"epoch_train": epoch_tloss}
-                if vloss is not None:
-                    ep_metrics["epoch_val"] = vloss
-                self.logger.log(epoch, ep_metrics, prefix="epoch")
-                vtxt = "-" if vloss is None else f"{vloss:.6f}"
-                print(f"epoch {epoch} | tr {epoch_tloss:.6f} "
-                      f"| val {vtxt} | {time.time() - t0:.1f}s",
-                      flush=True)
-
-            if epoch % cfg.train.ck_frequency == 0:
-                self.save(epoch)
-            if cfg.train.save_recons and epoch % 50 == 0 and last_batch is not None:
-                self._dump_sample(epoch, last_batch)
+            sec_per_epoch = (time.time() - t0) / len(tlosses)
+            for i, e in enumerate(range(epoch, e1 + 1)):
+                vloss = None
+                if e == e1 and (e % max(cfg.train.val_every, 1) == 0
+                                or e == n_epochs):
+                    vloss = self.validate()
+                if self._is_main:
+                    ep_metrics = {"epoch_train": tlosses[i]}
+                    if vloss is not None:
+                        ep_metrics["epoch_val"] = vloss
+                    self.logger.log(e, ep_metrics, prefix="epoch")
+                    vtxt = "-" if vloss is None else f"{vloss:.6f}"
+                    print(f"epoch {e} | tr {tlosses[i]:.6f} "
+                          f"| val {vtxt} | {sec_per_epoch:.1f}s",
+                          flush=True)
+                if e % cfg.train.ck_frequency == 0:
+                    self.save(e)
+                if (cfg.train.save_recons and e % 50 == 0
+                        and last_batch is not None):
+                    self._dump_sample(e, last_batch)
+            epoch = e1 + 1
         if self.trace_window is not None:
             self.trace_window.close()
         return self
+
+    def _scan_chunk_end(self, e0: int, n_epochs: int) -> int:
+        """Largest epoch e1 >= e0 the scan may fuse through: bounded by
+        train.scan_epochs and clipped so the chunk never CROSSES an epoch
+        that needs host action afterwards (checkpoint save, sample dump,
+        val pass) or a loss-gate flag change (different compiled step)."""
+        t = self.cfg.train
+        e1 = min(e0 + max(t.scan_epochs, 1) - 1, n_epochs)
+        f0 = flags_for_epoch(t, e0)
+        e = e0
+        while e < e1:
+            if flags_for_epoch(t, e + 1) != f0:
+                break
+            e += 1
+            if (e % t.ck_frequency == 0
+                    or e % max(t.val_every, 1) == 0
+                    or (t.save_recons and e % 50 == 0)):
+                break
+        return e
 
     def _run_epoch_steps(self, epoch: int, interp_iter):
         """One epoch as a Python loop of jitted steps (the general path:
@@ -575,37 +604,45 @@ class Trainer:
                 self.train_loader.source.batch_fn)
         return self._step_cache[key]
 
-    def _run_epoch_scan(self, epoch: int, interp_meta_iter):
-        """One epoch as ONE jitted lax.scan dispatch over device-resident
-        data: the host contributes the [K, B] index schedule and stacked
-        edit specs; per-step launch overhead (~35 ms at batch 4) is paid
-        once per epoch."""
+    def _run_scan_chunk(self, e0: int, e1: int):
+        """Epochs e0..e1 (inclusive) as ONE jitted lax.scan dispatch over
+        device-resident data: the host contributes the [K_total, B] index
+        schedules and stacked edit specs; per-dispatch overhead is paid
+        once per CHUNK.  Each epoch's schedule/RNG state is built exactly
+        as the per-epoch paths build it (set_epoch + reseed + anchored
+        meta_cycle), so the trajectory is identical for any chunking."""
         cfg = self.cfg
         src = self.train_loader.source
-        metas = list(self.train_loader.loader.iter_indices())
-        k = len(metas)
-        idx_tr = np.stack([m["global_idx"] for m in metas]).astype(np.int32)
-
         exc_dyn = self.sampler.exc_mode == "ori_or_m"
         host_meas = getattr(self.interp_loader.loader.source, "measures",
                             None)
-        idx_in, idx_ex, specs = [], [], []
+
+        metas, idx_in, idx_ex, specs, epoch_of_step = [], [], [], [], []
         static_variant = None
-        for _ in range(k):
-            mi = next(interp_meta_iter)
-            me = next(interp_meta_iter)
-            idx_in.append(mi["global_idx"])
-            idx_ex.append(me["global_idx"])
-            variant = self.sampler.sample_exc_variant()
-            static_variant = variant
-            measure = None
-            if cfg.train.edit_mode == "exc":
-                measure = np.asarray(host_meas)[mi["global_idx"]]
-            spec = self.sampler.sample_interp(epoch, len(mi["global_idx"]),
-                                              measure=measure)
-            if exc_dyn:
-                spec["exc_is_ori"] = np.float32(variant == "ori")
-            specs.append(spec)
+        for e in range(e0, e1 + 1):
+            self.train_loader.set_epoch(e)
+            self.sampler.reseed(e)
+            interp_meta_iter = self.interp_loader.meta_cycle(anchor=e)
+            e_metas = list(self.train_loader.loader.iter_indices())
+            metas.extend(e_metas)
+            for _ in range(len(e_metas)):
+                mi = next(interp_meta_iter)
+                me = next(interp_meta_iter)
+                idx_in.append(mi["global_idx"])
+                idx_ex.append(me["global_idx"])
+                variant = self.sampler.sample_exc_variant()
+                static_variant = variant
+                measure = None
+                if cfg.train.edit_mode == "exc":
+                    measure = np.asarray(host_meas)[mi["global_idx"]]
+                spec = self.sampler.sample_interp(
+                    e, len(mi["global_idx"]), measure=measure)
+                if exc_dyn:
+                    spec["exc_is_ori"] = np.float32(variant == "ori")
+                specs.append(spec)
+                epoch_of_step.append(e)
+        k = len(metas)
+        idx_tr = np.stack([m["global_idx"] for m in metas]).astype(np.int32)
         idx_in = np.stack(idx_in).astype(np.int32)
         idx_ex = np.stack(idx_ex).astype(np.int32)
         specs_st = {name: np.stack([s[name] for s in specs])
@@ -625,7 +662,7 @@ class Trainer:
             return jnp.asarray(x)
 
         step = self._get_scan_step(
-            epoch, "dynamic" if exc_dyn else static_variant, k)
+            e0, "dynamic" if exc_dyn else static_variant, k)
         self.params, self.opt_state, ms = step(
             self.params, self.opt_state, src.verts, src.measures,
             put_stacked(idx_tr, True), put_stacked(idx_in, True),
@@ -641,11 +678,14 @@ class Trainer:
                 if (base + s + 1) % cfg.train.log_every == 0:
                     self.logger.log(base + s + 1,
                                     {n: v[s] for n, v in ms_h.items()})
-        epoch_tloss = float(jnp.mean(ms["loss"]))
+        loss_h = np.asarray(jax.device_get(ms["loss"]))
+        eps = np.asarray(epoch_of_step)
+        tlosses = [float(loss_h[eps == e].mean())
+                   for e in range(e0, e1 + 1)]
         metrics_last = {n: v[-1] for n, v in ms.items()}
         last_batch = (src.take(metas[-1])
-                      if cfg.train.save_recons and epoch % 50 == 0 else None)
-        return epoch_tloss, metrics_last, last_batch
+                      if cfg.train.save_recons and e1 % 50 == 0 else None)
+        return tlosses, metrics_last, last_batch
 
     def _get_eval_step(self, mm_constant: float = 1000.0):
         """Jitted eval step, cached per mm_constant (a single cached step

@@ -205,3 +205,33 @@ def test_epoch_scan_matches_step_loop(tmp_path, small_assets, small_human,
                                    rtol=2e-5, atol=1e-6)
     vs, vl = tr_scan.validate(), tr_loop.validate()
     np.testing.assert_allclose(vs, vl, rtol=1e-5)
+
+
+def test_scan_epoch_chunking_matches_per_epoch(tmp_path, small_assets,
+                                               small_human):
+    """Fusing N epochs into one scan dispatch (train.scan_epochs) must be
+    trajectory-identical to one dispatch per epoch — the chunk builder
+    replays exactly the per-epoch schedule/RNG construction."""
+    import jax
+
+    tr_1 = _small_trainer(str(tmp_path / "chunk1"), small_assets,
+                          small_human)
+    tr_n = _small_trainer(str(tmp_path / "chunkN"), small_assets,
+                          small_human, scan_epochs=3, val_every=4)
+    assert tr_1._epoch_scan_ok() and tr_n._epoch_scan_ok()
+
+    tr_1.fit(4)
+    tr_n.fit(4)
+    assert tr_1.global_step == tr_n.global_step
+
+    for a, b in zip(jax.tree.leaves(tr_1.params),
+                    jax.tree.leaves(tr_n.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(tr_1.validate(), tr_n.validate(), rtol=1e-5)
+    # chunking must still honor checkpoint boundaries (ck_frequency=2
+    # inside a 3-epoch chunk clips the chunk)
+    assert os.path.exists(os.path.join(str(tmp_path), "chunkN",
+                                       "checkpoints", "2"))
+    assert os.path.exists(os.path.join(str(tmp_path), "chunkN",
+                                       "checkpoints", "4"))
