@@ -93,6 +93,9 @@ class TrainConfig:
     # linear lr ramp over the first N epochs (large-batch stabilizer;
     # 0 = reference schedule)
     lr_warmup_epochs: int = 0
+    # 'exp' (reference StepLR gamma) | 'cosine' (anneal to 0 over
+    # n_epochs — fixed-budget fast recipes)
+    lr_schedule: str = "exp"
     seed: int = 2
     # loss switches / weights (epoch thresholds gate when a term turns on)
     edgereg_epoch: int = 0

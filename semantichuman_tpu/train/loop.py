@@ -113,7 +113,9 @@ class Trainer:
         self.steps_per_epoch = max(len(self.train_loader), 1)
         self.optimizer = make_optimizer(
             cfg.train.lr, cfg.train.weight_decay, cfg.train.lr_decay,
-            self.steps_per_epoch, warmup_epochs=cfg.train.lr_warmup_epochs)
+            self.steps_per_epoch, warmup_epochs=cfg.train.lr_warmup_epochs,
+            schedule_kind=cfg.train.lr_schedule,
+            n_epochs=cfg.train.n_epochs)
         self.params = self.model.init(cfg.train.seed)
         self.opt_state = self.optimizer.init(self.params)
         self.start_epoch = 1

@@ -9,25 +9,48 @@ import optax
 
 
 def make_optimizer(lr: float, weight_decay: float, lr_decay: float,
-                   steps_per_epoch: int, warmup_epochs: int = 0):
+                   steps_per_epoch: int, warmup_epochs: int = 0,
+                   schedule_kind: str = "exp", n_epochs: int = 0):
     """optax chain replicating torch.optim.Adam(weight_decay=λ) + StepLR.
 
     warmup_epochs > 0 adds a linear lr ramp over the first N epochs — a
     large-batch stabilizer the reference (batch 4) never needs; 0 (the
-    default) reproduces the reference schedule exactly."""
-    spe = max(steps_per_epoch, 1)
+    default) reproduces the reference schedule exactly.
 
-    def schedule(step):
-        epoch = step // spe
-        out = lr * (lr_decay ** epoch)
-        if warmup_epochs:
-            import jax.numpy as jnp
-            out = out * jnp.minimum((step + 1.0) / (warmup_epochs * spe),
-                                    1.0)
-        return out
-
+    schedule_kind: 'exp' (the reference's per-epoch StepLR gamma) or
+    'cosine' (cosine anneal from lr to 0 over n_epochs — a fixed-budget
+    schedule that typically beats exponential when the total step count
+    is known, as in the fast large-batch recipe; requires n_epochs)."""
+    schedule = make_schedule(lr, lr_decay, steps_per_epoch, warmup_epochs,
+                             schedule_kind, n_epochs)
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(schedule),
     )
+
+
+def make_schedule(lr: float, lr_decay: float, steps_per_epoch: int,
+                  warmup_epochs: int = 0, schedule_kind: str = "exp",
+                  n_epochs: int = 0):
+    """The lr schedule alone (step -> lr); see make_optimizer."""
+    spe = max(steps_per_epoch, 1)
+    if schedule_kind not in ("exp", "cosine"):
+        raise ValueError(f"unknown schedule_kind {schedule_kind!r}")
+    if schedule_kind == "cosine" and n_epochs <= 0:
+        raise ValueError("schedule_kind='cosine' needs n_epochs")
+
+    def schedule(step):
+        import jax.numpy as jnp
+        epoch = step // spe
+        if schedule_kind == "cosine":
+            frac = jnp.clip(epoch / max(n_epochs, 1), 0.0, 1.0)
+            out = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        else:
+            out = lr * (lr_decay ** epoch)
+        if warmup_epochs:
+            out = out * jnp.minimum((step + 1.0) / (warmup_epochs * spe),
+                                    1.0)
+        return out
+
+    return schedule

@@ -150,3 +150,35 @@ def test_editskl_branch(setup):
                            spec)
     assert np.isfinite(float(metrics["loss"]))
     assert "interp_kps" in metrics
+
+
+def test_lr_schedules():
+    """exp reproduces the reference StepLR (lr·γ^epoch); cosine anneals
+    lr→0 over n_epochs; warmup ramps linearly and composes with both."""
+    import numpy as np
+
+    from semantichuman_tpu.train.optim import make_schedule
+
+    exp = make_schedule(1e-3, 0.9, steps_per_epoch=2)
+    np.testing.assert_allclose(float(exp(0)), 1e-3)
+    np.testing.assert_allclose(float(exp(1)), 1e-3)       # same epoch
+    np.testing.assert_allclose(float(exp(2)), 0.9e-3)     # epoch 1
+    np.testing.assert_allclose(float(exp(20)), 1e-3 * 0.9 ** 10, rtol=1e-6)
+
+    cos = make_schedule(4e-3, 0.0, steps_per_epoch=2, schedule_kind="cosine",
+                        n_epochs=100)
+    np.testing.assert_allclose(float(cos(0)), 4e-3)
+    np.testing.assert_allclose(float(cos(100)), 2e-3, rtol=1e-6)  # epoch 50
+    assert float(cos(200)) < 1e-9                                  # epoch 100
+
+    warm = make_schedule(4e-3, 1.0, steps_per_epoch=2, warmup_epochs=10)
+    np.testing.assert_allclose(float(warm(0)), 4e-3 * (1 / 20), rtol=1e-6)
+    np.testing.assert_allclose(float(warm(9)), 4e-3 * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(warm(19)), 4e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(warm(40)), 4e-3, rtol=1e-6)
+
+    import pytest
+    with pytest.raises(ValueError, match="n_epochs"):
+        make_schedule(1e-3, 0.9, 2, schedule_kind="cosine")
+    with pytest.raises(ValueError, match="schedule_kind"):
+        make_schedule(1e-3, 0.9, 2, schedule_kind="linear")

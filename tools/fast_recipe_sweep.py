@@ -33,7 +33,8 @@ TARGET_MM = 1.81   # the paper recipe's 300-epoch result (docs/BENCHMARKS.md)
 
 def run_variant(tag: str, workdir: str, lr: float, batch: int, epochs: int,
                 lr_decay: float, dtype: str, eval_every: int,
-                warmup: int = 0) -> dict:
+                warmup: int = 0, batch_interp: int | None = None,
+                schedule: str = "exp") -> dict:
     import numpy as np
 
     from semantichuman_tpu.config import Config
@@ -46,9 +47,10 @@ def run_variant(tag: str, workdir: str, lr: float, batch: int, epochs: int,
         data=dataclasses.replace(cfg.data, synthetic=True),
         train=dataclasses.replace(
             cfg.train, n_epochs=epochs, lr=lr, lr_decay=lr_decay,
-            lr_warmup_epochs=warmup, batch_train=batch, batch_interp=batch,
+            lr_warmup_epochs=warmup, lr_schedule=schedule,
+            batch_train=batch, batch_interp=batch_interp or batch,
             batch_test=64, ck_frequency=10_000, save_recons=False,
-            val_every=25))
+            val_every=25, scan_epochs=25))
     wd = os.path.join(workdir, tag)
     os.makedirs(wd, exist_ok=True)
     curve_path = os.path.join(wd, "curve.jsonl")
@@ -101,28 +103,39 @@ def main(argv=None):
     enable_cache()
 
     if args.variants:
+        # tag=lr:batch:dtype[:decay[:warmup[:batch_interp[:epochs[:sched]]]]]
         grid = []
         for item in args.variants.split(","):
             tag, spec = item.split("=")
             parts = spec.split(":")
             grid.append((tag, float(parts[0]), int(parts[1]), parts[2],
                          float(parts[3]) if len(parts) > 3 else 0.99,
-                         int(parts[4]) if len(parts) > 4 else 0))
+                         int(parts[4]) if len(parts) > 4 else 0,
+                         int(parts[5]) if len(parts) > 5 else 0,
+                         int(parts[6]) if len(parts) > 6 else 0,
+                         parts[7] if len(parts) > 7 else "exp"))
     else:
         # lr 8e-3 measured diverging by epoch 5 without warmup; grid sits
         # below it, with one warmed-up higher-lr probe
         grid = [
-            ("b128_lr2e3_bf16", 2e-3, 128, "bfloat16", 0.99, 0),
-            ("b128_lr4e3_w10_bf16", 4e-3, 128, "bfloat16", 0.99, 10),
-            ("b128_lr1e3_bf16", 1e-3, 128, "bfloat16", 0.99, 0),
+            ("b128_lr2e3_bf16", 2e-3, 128, "bfloat16", 0.99, 0, 0, 0,
+             "exp"),
+            ("b128_lr4e3_w10_bf16", 4e-3, 128, "bfloat16", 0.99, 10, 0, 0,
+             "exp"),
+            ("b128_lr1e3_bf16", 1e-3, 128, "bfloat16", 0.99, 0, 0, 0,
+             "exp"),
         ]
 
     os.makedirs(args.workdir, exist_ok=True)
     summary_path = os.path.join(args.workdir, "summary.jsonl")
-    for tag, lr, batch, dtype, decay, warmup in grid:
+    for (tag, lr, batch, dtype, decay, warmup, b_interp, v_epochs,
+         sched) in grid:
         try:
-            rec = run_variant(tag, args.workdir, lr, batch, args.epochs,
-                              decay, dtype, args.eval_every, warmup=warmup)
+            rec = run_variant(tag, args.workdir, lr, batch,
+                              v_epochs or args.epochs,
+                              decay, dtype, args.eval_every, warmup=warmup,
+                              batch_interp=b_interp or None,
+                              schedule=sched)
         except Exception as e:  # record and continue the sweep
             rec = {"tag": tag, "error": repr(e)}
         with open(summary_path, "a") as f:
