@@ -266,3 +266,37 @@ def test_convergence_runner_smoke(tmp_path):
     assert [r["epoch"] for r in lines] == [1, 2]
     assert all("mm" in r and r["mm"] > 0 for r in lines)
     assert os.path.exists(os.path.join(wd, "predictions", "predictions.npy"))
+
+
+def test_fast_recipe_config_smoke(tmp_path):
+    """configs/train_fast.yaml (the TPU fast-training recipe) must load and
+    drive the full trainer machinery it claims — scan_epochs chunking,
+    val_every, warmup+schedule, bf16/f32 trunk — end-to-end at toy scale."""
+    import dataclasses
+
+    from semantichuman_tpu.config import Config
+    from semantichuman_tpu.train.loop import Trainer
+
+    cfg = Config.from_yaml(os.path.join(os.path.dirname(__file__), "..",
+                                        "configs", "train_fast.yaml"))
+    t = cfg.train
+    assert t.batch_train >= 64 and t.scan_epochs > 1
+    # shrink to CPU scale, keep every recipe mechanism on
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            filter_sizes_enc=[[3, 8, 8, 16, 16], [[], [], [], [], []]],
+            filter_sizes_dec=[[16, 16, 8, 8, 8], [[], [], [], [], 3]],
+            use_pallas=False, trunk_dtype="float32"),
+        data=dataclasses.replace(
+            cfg.data, synthetic=True, synthetic_train=16, synthetic_test=8,
+            synthetic_n_theta=16, synthetic_n_phi=36),
+        train=dataclasses.replace(
+            t, n_epochs=4, batch_train=8, batch_interp=4, batch_test=8,
+            ck_frequency=4, save_recons=False))
+    tr = Trainer(cfg, str(tmp_path))
+    assert tr._epoch_scan_ok()
+    tr.fit()
+    assert tr.global_step == 4 * len(tr.train_loader)
+    assert np.isfinite(tr.validate())
