@@ -43,17 +43,20 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ITERS = int(os.environ.get("SH_TPU_PROBE_ITERS", "10"))
+ITERS = int(os.environ.get("SH_TPU_PROBE_ITERS", "100"))
 
 
 def onehot_table(spiral_idx: np.ndarray) -> np.ndarray:
-    """[V1, S] spiral table -> [V1*S, V1] one-hot bf16 selection matrix."""
+    """[V1, S] spiral table -> [V1*S, V1] one-hot bf16 selection matrix
+    (built host-side directly in bf16: the L0 table is 0.7 GB — f32
+    doubles that and can swap the 1-core host)."""
+    import ml_dtypes
     import jax.numpy as jnp
 
     v1, s = spiral_idx.shape
-    g = np.zeros((v1 * s, v1), np.float32)
+    g = np.zeros((v1 * s, v1), ml_dtypes.bfloat16)
     g[np.arange(v1 * s), np.asarray(spiral_idx).reshape(-1)] = 1.0
-    return jnp.asarray(g, jnp.bfloat16)
+    return jnp.asarray(g)
 
 
 def onehot_conv(x, G, s, w, bias, activation="elu", compute_dtype=None):
@@ -72,6 +75,31 @@ def onehot_conv(x, G, s, w, bias, activation="elu", compute_dtype=None):
     xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
     g = jnp.dot(G.astype(x.dtype), xp,
                 preferred_element_type=x.dtype)          # [V1*S, B*C]
+    g = g.reshape(v1, s, b, c).transpose(2, 0, 1, 3).reshape(b, v1, s * c)
+    y = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    y = act(y + bias.astype(y.dtype))
+    return y.at[:, -1, :].set(0.0)
+
+
+def onehot_conv_fly(x, spiral_idx, w, bias, activation="elu",
+                    compute_dtype=None):
+    """One-hot conv with G built ON THE FLY inside the trace (iota-compare
+    one_hot of the spiral table): no multi-MB constant shipped with the
+    program — the integration-candidate form."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantichuman_tpu.ops.spiral_conv import ACTIVATIONS
+
+    act = ACTIVATIONS[activation]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    b, v1, c = x.shape
+    s = spiral_idx.shape[1]
+    G = jax.nn.one_hot(spiral_idx.reshape(-1), v1, dtype=x.dtype)
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
+    g = jnp.dot(G, xp, preferred_element_type=x.dtype)
     g = g.reshape(v1, s, b, c).transpose(2, 0, 1, 3).reshape(b, v1, s * c)
     y = jnp.dot(g, w, preferred_element_type=jnp.float32)
     y = act(y + bias.astype(y.dtype))
@@ -100,12 +128,22 @@ def _timed_grad(fn, args, iters=ITERS):
         out, _ = jax.lax.scan(body, x, None, length=iters)
         return out
 
+    # Axon-platform timing rules (measured, see docs/BENCHMARKS.md):
+    #   * the timed call needs a DIFFERENT input value — identical repeated
+    #     computations can be served from a result cache (~0 ms readings);
+    #   * block_until_ready can return before remote execution completes —
+    #     force completion by FETCHING a scalar of the result;
+    #   * use >= 100 chained iterations so per-call overhead amortizes.
     r = chain(*args)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = chain(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters
+    float(jnp.sum(r))
+    best = float("inf")
+    for rep in range(2):
+        args2 = (args[0] * (1.0 + 1e-6 * (rep + 1)),) + tuple(args[1:])
+        t0 = time.perf_counter()
+        r = chain(*args2)
+        float(jnp.sum(r))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
@@ -123,9 +161,11 @@ def main():
     batches = ([int(os.environ["SH_TPU_PROBE_B"])]
                if "SH_TPU_PROBE_B" in os.environ else [4, 128])
 
+    levels = [int(x) for x in
+              os.environ.get("SH_TPU_PROBE_LEVELS", "2,3,4").split(",")]
     rng = np.random.default_rng(0)
     out = {"device": str(jax.devices()[0].device_kind), "levels": []}
-    for lvl in range(len(hier.spirals)):
+    for lvl in levels:
         sp = np.asarray(hier.spirals[lvl])
         v1, s = sp.shape
         c_in = enc_filters[lvl] if lvl < len(enc_filters) - 1 else enc_filters[-1]
@@ -149,6 +189,10 @@ def main():
                 lambda xx, gx, wx, bx: onehot_conv(
                     xx, gx, s, wx, bx, "elu", compute_dtype=jnp.bfloat16),
                 (x, G, w, bias))
+            t_fly = _timed_grad(
+                lambda xx, spx, wx, bx: onehot_conv_fly(
+                    xx, spx, wx, bx, "elu", compute_dtype=jnp.bfloat16),
+                (x, sp_j, w, bias))
             # correctness cross-check (fwd)
             y1 = spiral_conv(x, sp_j, w, bias, "elu",
                              compute_dtype=jnp.bfloat16)
@@ -158,12 +202,15 @@ def main():
             rec["by_batch"][str(b)] = {
                 "take_ms": round(t_take * 1e3, 3),
                 "onehot_ms": round(t_oh * 1e3, 3),
+                "onehot_fly_ms": round(t_fly * 1e3, 3),
                 "speedup": round(t_take / t_oh, 2),
+                "speedup_fly": round(t_take / t_fly, 2),
                 "max_abs_err": err,
             }
             print(f"L{lvl} B={b}: take {t_take*1e3:.2f} ms  "
-                  f"onehot {t_oh*1e3:.2f} ms  "
-                  f"({t_take/t_oh:.2f}x)  err {err:.2e}", flush=True)
+                  f"onehot {t_oh*1e3:.2f} ms ({t_take/t_oh:.2f}x)  "
+                  f"fly {t_fly*1e3:.2f} ms ({t_take/t_fly:.2f}x)  "
+                  f"err {err:.2e}", flush=True)
         out["levels"].append(rec)
     print(json.dumps(out))
 

@@ -50,6 +50,28 @@ def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     b, _, c = x.shape
+    v1, s = spiral_idx.shape
+    if isinstance(b, int) and b <= 16 and v1 <= 2048:
+        # small-batch coarse levels: gather (and its backward scatter-add)
+        # as a ONE-HOT MXU MATMUL.  XLA's gather/scatter engine costs
+        # ~100 ns/row regardless of row width, batch-independent — at
+        # small batch that row floor dominates the conv while the MXU
+        # idles; a one-hot selection matrix built on the fly (iota-compare,
+        # fused by XLA) turns both directions into matmuls.  Exact: every
+        # output row sums exactly one product of a 1.0.  Measured on the
+        # v5e (benchmarks/coarse_trunk_probe.py, B=4 fwd+bwd): 2.26x /
+        # 1.98x / 1.57x on levels 2/3/4; REJECTED at L0 (0.76x — the
+        # [V1·S, V1] matmul's FLOPs outgrow the row floor), L1 (1.16x,
+        # below the 1.2x bar), and any level at B=128 (0.48x — FLOPs
+        # scale with B, the row floor doesn't).
+        G = jax.nn.one_hot(spiral_idx.reshape(-1), v1, dtype=x.dtype)
+        xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
+        g = jnp.dot(G, xp, preferred_element_type=x.dtype)
+        g = (g.reshape(v1, s, b, c).transpose(2, 0, 1, 3)
+             .reshape(b, v1, s * c))
+        y = jnp.dot(g, w, preferred_element_type=jnp.float32)
+        y = act(y + bias.astype(y.dtype))
+        return y.at[:, -1, :].set(0.0)
     # `b >= 32` must stay False for a SYMBOLIC batch dim (jax.export shape
     # polymorphism: the comparison is inconclusive, and the batch-major
     # path below is shape-polymorphic while this layout flip keys on a

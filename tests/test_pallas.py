@@ -182,3 +182,37 @@ def test_fused_dist_ragged_buckets_and_oversize(_interpret_part_dist,
     # sanity: the split actually exercised both routes
     ptab = PD.PartDistTables(ragged, True, "threshold")
     assert ptab.oversize_ids and len(ptab.buckets) > 1
+
+
+def test_onehot_conv_path_matches():
+    """The small-batch coarse-level one-hot matmul path (b<=16, v1<=2048)
+    must equal the naive gather formulation EXACTLY (selection sums one
+    product of a 1.0 each)."""
+    rng = np.random.default_rng(11)
+    v1, s, c, co = 300, 7, 32, 16
+    idx = rng.integers(0, v1, (v1, s)).astype(np.int32)
+    idx[:, 0] = np.arange(v1)
+    w = (rng.standard_normal((s * c, co)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(co).astype(np.float32)
+    x = rng.standard_normal((4, v1, c)).astype(np.float32)
+    x[:, -1] = 0.0
+
+    import jax
+
+    def take_formulation(dtype):
+        xj = jnp.asarray(x)
+        wj = jnp.asarray(w)
+        if dtype is not None:
+            xj = xj.astype(dtype)
+            wj = wj.astype(dtype)
+        g = jnp.take(xj, jnp.asarray(idx.reshape(-1)), axis=1)
+        g = g.reshape(4, v1, s * c)
+        y = jnp.dot(g, wj, preferred_element_type=jnp.float32)
+        y = jax.nn.elu(y + jnp.asarray(bias).astype(y.dtype))
+        return np.array(y.at[:, -1, :].set(0.0))
+
+    for dtype in (None, jnp.bfloat16):
+        got = spiral_conv(jnp.asarray(x), jnp.asarray(idx), jnp.asarray(w),
+                          jnp.asarray(bias), "elu", compute_dtype=dtype)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      take_formulation(dtype))
