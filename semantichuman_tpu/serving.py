@@ -45,11 +45,12 @@ def export_inference(model, params, j_regressor, out_dir: str,
     fixed `batch_size` (recorded in the manifest as symbolic_batch:
     false).
 
-    Tradeoff: the symbolic trace cannot take the vertex-major layout of
-    the narrow-channel input conv (ops.spiral_conv keys it on a concrete
-    batch >= 32); pass symbolic_batch=False for a large fixed batch when
-    that last measured ~1.4x on the 3-channel level matters more than
-    one-artifact deployment (per-batch numbers: docs/BENCHMARKS.md)."""
+    Tradeoff (measured, benchmarks/serving_bench.py): the symbolic trace
+    cannot take the vertex-major layout of the narrow-channel input conv
+    (ops.spiral_conv keys it on a concrete batch >= 32) — in practice
+    ~1 % at B=64 and a wash at B<=16, so the polymorphic artifact is the
+    right default everywhere; symbolic_batch=False remains for squeezing
+    the last percent at a known large batch."""
     os.makedirs(out_dir, exist_ok=True)
     jreg = jnp.asarray(np.asarray(j_regressor, np.float32))
     keep = jnp.asarray(np.asarray(KPS_KEEP, np.int32))
