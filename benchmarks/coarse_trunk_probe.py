@@ -215,5 +215,76 @@ def main():
     print(json.dumps(out))
 
 
+# --- unpool: barycentric 3-gather vs on-the-fly dense-U matmul ---------------
+
+def unpool_dense(x, unpool_idx, unpool_w):
+    """unpool as U @ x with U = sum_k one_hot(idx_k)*w_k built on the fly.
+    Same three products per output row as the gather-3 path (weights cast
+    to x.dtype exactly like ops.sampling.unpool); the VJP becomes U^T @ dy
+    — a matmul instead of a scatter-add over V_f*3 rows."""
+    import jax
+    import jax.numpy as jnp
+
+    b, vc1, c = x.shape
+    w = unpool_w.astype(x.dtype)
+    U = sum(jax.nn.one_hot(unpool_idx[:, k], vc1, dtype=x.dtype)
+            * w[:, k:k + 1] for k in range(unpool_idx.shape[1]))
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(vc1, b * c)
+    y = jnp.dot(U, xp, preferred_element_type=jnp.float32)
+    vf1 = unpool_idx.shape[0]
+    return jnp.transpose(y.reshape(vf1, b, c), (1, 0, 2)).astype(x.dtype)
+
+
+def main_unpool():
+    import jax
+    import jax.numpy as jnp
+
+    from semantichuman_tpu.utils.compilation_cache import enable_cache
+    enable_cache()
+    from semantichuman_tpu.ops.sampling import unpool
+    from semantichuman_tpu.topology.compiler import MeshHierarchy
+
+    hier = MeshHierarchy.load(os.path.join(REPO, "assets",
+                                           "topology_synth_full_2222.npz"))
+    dec_c = [128, 64, 32, 32]      # decoder channel at each unpool level
+    batches = ([int(os.environ["SH_TPU_PROBE_B"])]
+               if "SH_TPU_PROBE_B" in os.environ else [4, 12])
+    levels = [int(x) for x in
+              os.environ.get("SH_TPU_PROBE_LEVELS", "0,1,2,3").split(",")]
+    rng = np.random.default_rng(0)
+    out = {"device": str(jax.devices()[0].device_kind), "unpool": []}
+    for lvl in levels:
+        idx = jnp.asarray(np.asarray(hier.unpool_idx[lvl]))
+        w = jnp.asarray(np.asarray(hier.unpool_w[lvl], np.float32))
+        vf1 = idx.shape[0]
+        vc1 = hier.sizes[lvl + 1] + 1
+        c = dec_c[::-1][lvl] if lvl < len(dec_c) else 32
+        rec = {"level": lvl, "vf1": int(vf1), "vc1": int(vc1), "c": c,
+               "by_batch": {}}
+        for b in batches:
+            x = jnp.asarray(rng.standard_normal((b, vc1, c)), jnp.float32)
+            t_take = _timed_grad(
+                lambda xx, ix, wx: unpool(xx, ix, wx), (x, idx, w))
+            t_dense = _timed_grad(
+                lambda xx, ix, wx: unpool_dense(xx, ix, wx), (x, idx, w))
+            y1 = unpool(x, idx, w)
+            y2 = unpool_dense(x, idx, w)
+            err = float(jnp.max(jnp.abs(y1 - y2)))
+            rec["by_batch"][str(b)] = {
+                "take_ms": round(t_take * 1e3, 3),
+                "dense_ms": round(t_dense * 1e3, 3),
+                "speedup": round(t_take / t_dense, 2),
+                "max_abs_err": err,
+            }
+            print(f"unpool L{lvl} B={b}: take {t_take*1e3:.2f} ms  "
+                  f"dense {t_dense*1e3:.2f} ms ({t_take/t_dense:.2f}x)  "
+                  f"err {err:.2e}", flush=True)
+        out["unpool"].append(rec)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SH_TPU_PROBE_UNPOOL") == "1":
+        main_unpool()
+    else:
+        main()

@@ -423,9 +423,14 @@ class Trainer:
         """Write the full resolved config (+ code revision when available)
         to checkpoints/train_params.txt at train start — the reference's
         run-provenance mechanism (main.py:273-275); final metrics are
-        appended to the same file by export_predictions."""
+        appended to the same file by export_predictions.  Once per Trainer
+        (segmented fit() drivers call fit repeatedly)."""
         import json
         import subprocess
+
+        if getattr(self, "_params_dumped", False):
+            return
+        self._params_dumped = True
 
         sha = None
         try:
