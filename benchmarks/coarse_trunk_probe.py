@@ -235,20 +235,53 @@ def unpool_dense(x, unpool_idx, unpool_w):
     return jnp.transpose(y.reshape(vf1, b, c), (1, 0, 2)).astype(x.dtype)
 
 
+def unpool_dense_hi(x, unpool_idx, unpool_w):
+    """unpool_dense with Precision.HIGHEST: the MXU truncates f32 operands
+    to bf16 per pass by default (~1.5e-2 abs err on N(0,1) activations);
+    HIGHEST runs the 6-pass bf16 expansion that reproduces full f32."""
+    import jax
+    import jax.numpy as jnp
+
+    b, vc1, c = x.shape
+    w = unpool_w.astype(x.dtype)
+    U = sum(jax.nn.one_hot(unpool_idx[:, k], vc1, dtype=x.dtype)
+            * w[:, k:k + 1] for k in range(unpool_idx.shape[1]))
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(vc1, b * c)
+    y = jnp.dot(U, xp, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    vf1 = unpool_idx.shape[0]
+    return jnp.transpose(y.reshape(vf1, b, c), (1, 0, 2)).astype(x.dtype)
+
+
+def pool_dense(x, pool_idx, vf1):
+    """pool (pure row selection) as one_hot(pool_idx) @ x: forward trades
+    a [Vc1]-row gather for a [Vc1, Vf1] matmul; the VJP becomes P^T @ dy —
+    a matmul instead of a scatter-add over Vc1 rows."""
+    import jax
+    import jax.numpy as jnp
+
+    b, _, c = x.shape
+    P = jax.nn.one_hot(pool_idx, vf1, dtype=x.dtype)
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(vf1, b * c)
+    y = jnp.dot(P, xp, preferred_element_type=x.dtype)
+    vc1 = pool_idx.shape[0]
+    return jnp.transpose(y.reshape(vc1, b, c), (1, 0, 2))
+
+
 def main_unpool():
     import jax
     import jax.numpy as jnp
 
     from semantichuman_tpu.utils.compilation_cache import enable_cache
     enable_cache()
-    from semantichuman_tpu.ops.sampling import unpool
+    from semantichuman_tpu.ops.sampling import pool, unpool
     from semantichuman_tpu.topology.compiler import MeshHierarchy
 
     hier = MeshHierarchy.load(os.path.join(REPO, "assets",
                                            "topology_synth_full_2222.npz"))
     dec_c = [128, 64, 32, 32]      # decoder channel at each unpool level
-    batches = ([int(os.environ["SH_TPU_PROBE_B"])]
-               if "SH_TPU_PROBE_B" in os.environ else [4, 12])
+    batches = [int(x) for x in
+               os.environ.get("SH_TPU_PROBE_B", "4,12").split(",")]
     levels = [int(x) for x in
               os.environ.get("SH_TPU_PROBE_LEVELS", "0,1,2,3").split(",")]
     rng = np.random.default_rng(0)
@@ -267,19 +300,54 @@ def main_unpool():
                 lambda xx, ix, wx: unpool(xx, ix, wx), (x, idx, w))
             t_dense = _timed_grad(
                 lambda xx, ix, wx: unpool_dense(xx, ix, wx), (x, idx, w))
+            t_hi = _timed_grad(
+                lambda xx, ix, wx: unpool_dense_hi(xx, ix, wx), (x, idx, w))
             y1 = unpool(x, idx, w)
             y2 = unpool_dense(x, idx, w)
+            y3 = unpool_dense_hi(x, idx, w)
             err = float(jnp.max(jnp.abs(y1 - y2)))
+            err_hi = float(jnp.max(jnp.abs(y1 - y3)))
+            rec["by_batch"][str(b)] = {
+                "take_ms": round(t_take * 1e3, 3),
+                "dense_ms": round(t_dense * 1e3, 3),
+                "dense_hi_ms": round(t_hi * 1e3, 3),
+                "speedup": round(t_take / t_dense, 2),
+                "speedup_hi": round(t_take / t_hi, 2),
+                "max_abs_err": err,
+                "max_abs_err_hi": err_hi,
+            }
+            print(f"unpool L{lvl} B={b}: take {t_take*1e3:.2f} ms  "
+                  f"dense {t_dense*1e3:.2f} ms ({t_take/t_dense:.2f}x)  "
+                  f"hi {t_hi*1e3:.2f} ms ({t_take/t_hi:.2f}x)  "
+                  f"err {err:.2e} hi {err_hi:.2e}", flush=True)
+        out["unpool"].append(rec)
+
+    # pool: encoder-side row selection (enc channel at each pool level)
+    enc_c = [16, 16, 16, 32]
+    for lvl in levels:
+        pidx = jnp.asarray(np.asarray(hier.pool_idx[lvl]))
+        vf1 = hier.sizes[lvl] + 1
+        vc1 = pidx.shape[0]
+        c = enc_c[lvl] if lvl < len(enc_c) else 32
+        rec = {"level": lvl, "vf1": int(vf1), "vc1": int(vc1), "c": c,
+               "by_batch": {}}
+        for b in batches:
+            x = jnp.asarray(rng.standard_normal((b, vf1, c)), jnp.float32)
+            t_take = _timed_grad(lambda xx, ix: pool(xx, ix), (x, pidx))
+            t_dense = _timed_grad(
+                lambda xx, ix: pool_dense(xx, ix, vf1), (x, pidx))
+            err = float(jnp.max(jnp.abs(pool(x, pidx)
+                                        - pool_dense(x, pidx, vf1))))
             rec["by_batch"][str(b)] = {
                 "take_ms": round(t_take * 1e3, 3),
                 "dense_ms": round(t_dense * 1e3, 3),
                 "speedup": round(t_take / t_dense, 2),
                 "max_abs_err": err,
             }
-            print(f"unpool L{lvl} B={b}: take {t_take*1e3:.2f} ms  "
+            print(f"pool L{lvl} B={b}: take {t_take*1e3:.2f} ms  "
                   f"dense {t_dense*1e3:.2f} ms ({t_take/t_dense:.2f}x)  "
                   f"err {err:.2e}", flush=True)
-        out["unpool"].append(rec)
+        out.setdefault("pool", []).append(rec)
     print(json.dumps(out))
 
 

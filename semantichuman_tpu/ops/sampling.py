@@ -1,15 +1,58 @@
-"""Mesh pooling / unpooling as gathers.
+"""Mesh pooling / unpooling as gathers (one-hot MXU matmuls at small batch).
 
 The reference densifies its sparse transforms into [V+1, V'+1] matrices and
 batch-matmuls every step (main.py:183-193, models.py:127,148).  Because QEM
 downsampling is a pure row selection (1 nnz/row) and barycentric upsampling
-has ≤3 nnz/row, both collapse to index gathers — O(V·C) HBM traffic instead
-of O(V·V') FLOPs, with identical results.
+has <=3 nnz/row, both collapse to index gathers — O(V*C) HBM traffic instead
+of O(V*V') FLOPs, with identical results.
+
+Small-batch exception (r3, measured): XLA's gather/scatter engine costs
+~100 ns/row regardless of row width and independent of batch, so at small
+batch the take's row floor (and its backward's scatter-add) dominates while
+the MXU idles.  Building the sparse operator as an on-the-fly one-hot
+matrix (iota-compare, fused by XLA — no multi-MB constant in the program)
+turns both directions into matmuls.  Unlike the reference's dense [V+1,V'+1]
+batch-matmul per SAMPLE, this is one [V_f, V_c] x [V_c, B*C] matmul per
+CALL, and only where measured profitable (benchmarks/coarse_trunk_probe.py,
+v5e, fwd+bwd vs take): unpool L0/L1/L2 at B=4 3.9x/3.1x/2.2x, at B=12
+5.7x/3.3x/1.9x; L3 is 1.05x at B=4 (below the 1.2x bar) — gated out by the
+V_f >= 1024 rule.  At B>=32 the matmul FLOPs outgrow the batch-independent
+row floor (same finding as the spiral one-hot path, ops/spiral_conv.py).
+
+Precision note: the MXU truncates f32 operands to bf16 per pass under the
+DEFAULT matmul precision, so the dense path carries ~1e-2 abs rounding on
+N(0,1) activations where take+einsum is exact.  This matches the precision
+of every conv matmul in the trunk (also DEFAULT) — the unpool output feeds
+straight into a spiral conv whose matmul truncates its operands the same
+way — and the paper recipe trains to its best measured error with the
+analogous one-hot conv path active.  Tests pin exact equality on CPU
+(where DEFAULT is full f32) and the gate keeps batch-major take for
+everything the rule does not cover, including symbolic-batch serving
+exports (the gate needs a concrete int batch).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# one-hot paths engage only below this concrete batch (measured knee: the
+# matmul's FLOPs scale with B, the take's row floor does not; B=12 still
+# wins, B>=32 loses) and at/above this fine-row count (L3's V_f=863 measured
+# 1.05x — below the 1.2x adoption bar)
+_ONEHOT_MAX_B = 16
+_ONEHOT_MIN_ROWS = 1024
+
+
+def _onehot_ok(b, vf1: int) -> bool:
+    """Trace-time dispatch for the one-hot sampling paths.  Requires a
+    concrete int batch (symbolic-batch serving exports fall through to the
+    shape-polymorphic take) and a non-CPU backend: the win is specific to
+    the TPU gather engine's per-row floor — on CPU the dense matmul is
+    strictly slower, and its 3-term sum reassociation would perturb the
+    full-scale CPU parity tests (torch import is pinned at 3e-8)."""
+    return (isinstance(b, int) and b <= _ONEHOT_MAX_B
+            and vf1 >= _ONEHOT_MIN_ROWS and jax.default_backend() != "cpu")
 
 
 def pool(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
@@ -17,11 +60,28 @@ def pool(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(x, pool_idx, axis=1)
 
 
+def unpool_dense(x: jnp.ndarray, unpool_idx: jnp.ndarray,
+                 unpool_w: jnp.ndarray) -> jnp.ndarray:
+    """unpool as U @ x with U = sum_k one_hot(idx_k) * w_k built on the fly
+    inside the trace (iota-compare, fused by XLA).  The VJP is U^T @ dy —
+    a matmul instead of a scatter-add over V_f*3 rows."""
+    b, vc1, c = x.shape
+    vf1 = unpool_idx.shape[0]
+    w = unpool_w.astype(x.dtype)
+    u = sum(jax.nn.one_hot(unpool_idx[:, k], vc1, dtype=x.dtype)
+            * w[:, k:k + 1] for k in range(unpool_idx.shape[1]))
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(vc1, b * c)
+    y = jnp.dot(u, xp, preferred_element_type=jnp.float32)
+    return jnp.transpose(y.reshape(vf1, b, c), (1, 0, 2)).astype(x.dtype)
+
+
 def unpool(x: jnp.ndarray, unpool_idx: jnp.ndarray,
            unpool_w: jnp.ndarray) -> jnp.ndarray:
     """x [B, V_c+1, C], unpool_idx [V_f+1, 3], unpool_w [V_f+1, 3]
-    -> [B, V_f+1, C] via barycentric 3-gather."""
+    -> [B, V_f+1, C] via barycentric 3-gather (one-hot matmul at small B)."""
     b, _, c = x.shape
     vf1 = unpool_idx.shape[0]
+    if _onehot_ok(b, vf1):
+        return unpool_dense(x, unpool_idx, unpool_w)
     g = jnp.take(x, unpool_idx.reshape(-1), axis=1).reshape(b, vf1, 3, c)
     return jnp.einsum("bvkc,vk->bvc", g, unpool_w.astype(x.dtype))

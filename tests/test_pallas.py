@@ -216,3 +216,57 @@ def test_onehot_conv_path_matches():
                           jnp.asarray(bias), "elu", compute_dtype=dtype)
         np.testing.assert_array_equal(np.asarray(got),
                                       take_formulation(dtype))
+
+
+def test_onehot_unpool_path_matches(monkeypatch):
+    """The small-batch one-hot unpool (b<=16, V_f>=1024, non-CPU backend)
+    must match the barycentric 3-gather within f32 reassociation noise (on
+    CPU both run full f32; the dense matmul only reorders the 3-term
+    weighted sum), fwd and grad; the dispatch gate must stay off on CPU."""
+    import jax
+
+    from semantichuman_tpu.ops import sampling as S
+
+    rng = np.random.default_rng(3)
+    vf1, vc1, c, b = 1100, 600, 32, 4
+    idx = rng.integers(0, vc1, (vf1, 3)).astype(np.int32)
+    idx[-1] = vc1 - 1                                # dummy -> coarse dummy
+    w = rng.dirichlet(np.ones(3), vf1).astype(np.float32)
+    x = rng.standard_normal((b, vc1, c)).astype(np.float32)
+
+    def take_formulation(xj):
+        g = jnp.take(xj, jnp.asarray(idx.reshape(-1)),
+                     axis=1).reshape(xj.shape[0], vf1, 3, xj.shape[2])
+        return jnp.einsum("bvkc,vk->bvc", g, jnp.asarray(w).astype(xj.dtype))
+
+    # on the CPU test backend the dispatch must keep the take path even
+    # though the shape qualifies (full-scale CPU parity pins 3e-8)
+    assert b <= S._ONEHOT_MAX_B and vf1 >= S._ONEHOT_MIN_ROWS
+    assert not S._onehot_ok(b, vf1)
+
+    # force the dense path through the public entry to pin the dispatch
+    monkeypatch.setattr(S, "_onehot_ok", lambda bb, vv: True)
+    got = S.unpool(jnp.asarray(x), jnp.asarray(idx), jnp.asarray(w))
+    ref = take_formulation(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # gradient parity through the dense path
+    def loss(fn, xj):
+        return jnp.sum(jnp.abs(fn(xj)))
+
+    g_dense = jax.grad(lambda xj: loss(
+        lambda v: S.unpool_dense(v, jnp.asarray(idx), jnp.asarray(w)), xj))(
+            jnp.asarray(x))
+    g_take = jax.grad(lambda xj: loss(take_formulation, xj))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_take),
+                               rtol=1e-5, atol=1e-6)
+
+    # bf16 input stays on the dense path and matches the take formulation
+    xb = jnp.asarray(x, jnp.bfloat16)
+    got_b = S.unpool_dense(xb, jnp.asarray(idx), jnp.asarray(w))
+    ref_b = take_formulation(xb)
+    assert got_b.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got_b, np.float32),
+                               np.asarray(ref_b, np.float32),
+                               rtol=2e-2, atol=2e-2)
