@@ -15,9 +15,14 @@ turns both directions into matmuls.  Unlike the reference's dense [V+1,V'+1]
 batch-matmul per SAMPLE, this is one [V_f, V_c] x [V_c, B*C] matmul per
 CALL, and only where measured profitable (benchmarks/coarse_trunk_probe.py,
 v5e, fwd+bwd vs take): unpool L0/L1/L2 at B=4 3.9x/3.1x/2.2x, at B=12
-5.7x/3.3x/1.9x; L3 is 1.05x at B=4 (below the 1.2x bar) — gated out by the
-V_f >= 1024 rule.  At B>=32 the matmul FLOPs outgrow the batch-independent
-row floor (same finding as the spiral one-hot path, ops/spiral_conv.py).
+5.7x/3.3x/1.9x; unpool L3 1.65x/1.31x (two clean re-runs — an earlier
+1.05x reading was host-contention noise, so L3 is now IN); pool wins at
+every level, B=4/12 means 1.65x/1.35x/1.2x/1.2x for L0-L3.  A
+Precision.HIGHEST unpool variant (exact f32 via the 6-pass bf16
+expansion) measured 0.3-0.9x — slower than the take baseline at L0-L2 —
+and is rejected; DEFAULT precision stands with the note below.  At B>=32
+the matmul FLOPs outgrow the batch-independent row floor (same finding
+as the spiral one-hot path, ops/spiral_conv.py).
 
 Precision note: the MXU truncates f32 operands to bf16 per pass under the
 DEFAULT matmul precision, so the dense path carries ~1e-2 abs rounding on
@@ -38,10 +43,11 @@ import jax.numpy as jnp
 
 # one-hot paths engage only below this concrete batch (measured knee: the
 # matmul's FLOPs scale with B, the take's row floor does not; B=12 still
-# wins, B>=32 loses) and at/above this fine-row count (L3's V_f=863 measured
-# 1.05x — below the 1.2x adoption bar)
+# wins, B>=32 loses) and at/above this fine-row count (every production
+# level qualifies — smallest measured win is V_f=863 at 1.3-1.7x; the
+# floor only guards unmeasured tiny meshes like the 16-vertex test human)
 _ONEHOT_MAX_B = 16
-_ONEHOT_MIN_ROWS = 1024
+_ONEHOT_MIN_ROWS = 512
 
 
 def _onehot_ok(b, vf1: int) -> bool:
@@ -55,8 +61,24 @@ def _onehot_ok(b, vf1: int) -> bool:
             and vf1 >= _ONEHOT_MIN_ROWS and jax.default_backend() != "cpu")
 
 
+def pool_dense(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
+    """pool as P @ x with P = one_hot(pool_idx) built on the fly inside
+    the trace.  Forward trades a [V_c+1]-row gather for a matmul; the VJP
+    becomes P^T @ dy — a matmul instead of a scatter-add into V_f+1 rows."""
+    b, vf1, c = x.shape
+    vc1 = pool_idx.shape[0]
+    p = jax.nn.one_hot(pool_idx, vf1, dtype=x.dtype)
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(vf1, b * c)
+    y = jnp.dot(p, xp, preferred_element_type=jnp.float32)
+    return jnp.transpose(y.reshape(vc1, b, c), (1, 0, 2)).astype(x.dtype)
+
+
 def pool(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
-    """x [B, V_f+1, C], pool_idx [V_c+1] -> [B, V_c+1, C]."""
+    """x [B, V_f+1, C], pool_idx [V_c+1] -> [B, V_c+1, C] by row selection
+    (one-hot matmul at small B — measured 1.2-1.7x fwd+bwd on all levels)."""
+    b, vf1, _ = x.shape
+    if _onehot_ok(b, vf1):
+        return pool_dense(x, pool_idx)
     return jnp.take(x, pool_idx, axis=1)
 
 

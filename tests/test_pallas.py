@@ -270,3 +270,45 @@ def test_onehot_unpool_path_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(got_b, np.float32),
                                np.asarray(ref_b, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_onehot_pool_path_matches(monkeypatch):
+    """The small-batch one-hot pool is a pure row selection, so on CPU
+    (full-f32 matmul) it must be EXACT against take, fwd and grad; the
+    dispatch gate must stay off on CPU."""
+    import jax
+
+    from semantichuman_tpu.ops import sampling as S
+
+    rng = np.random.default_rng(5)
+    vf1, vc1, c, b = 1100, 600, 16, 4
+    pidx = rng.permutation(vf1)[:vc1].astype(np.int32)
+    pidx[-1] = vf1 - 1                               # dummy -> fine dummy
+    x = rng.standard_normal((b, vf1, c)).astype(np.float32)
+
+    assert b <= S._ONEHOT_MAX_B and vf1 >= S._ONEHOT_MIN_ROWS
+    assert not S._onehot_ok(b, vf1)
+
+    monkeypatch.setattr(S, "_onehot_ok", lambda bb, vv: True)
+    got = S.pool(jnp.asarray(x), jnp.asarray(pidx))
+    ref = jnp.take(jnp.asarray(x), jnp.asarray(pidx), axis=1)
+    # 1 nnz/row: no reassociation — bitwise equality on CPU
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def loss(fn, xj):
+        return jnp.sum(jnp.abs(fn(xj)))
+
+    g_dense = jax.grad(lambda xj: loss(
+        lambda v: S.pool_dense(v, jnp.asarray(pidx)), xj))(jnp.asarray(x))
+    g_take = jax.grad(lambda xj: loss(
+        lambda v: jnp.take(v, jnp.asarray(pidx), axis=1), xj))(
+            jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(g_dense), np.asarray(g_take))
+
+    # bf16 input stays bf16 through the dense path
+    xb = jnp.asarray(x, jnp.bfloat16)
+    got_b = S.pool_dense(xb, jnp.asarray(pidx))
+    assert got_b.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got_b, np.float32),
+        np.asarray(jnp.take(xb, jnp.asarray(pidx), axis=1), np.float32))
