@@ -57,16 +57,27 @@ def main(argv=None):
     if args.synthetic:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, synthetic=True))
+    if args.epochs:
+        # set it on the CONFIG (not just fit()): the lr schedule — cosine
+        # anneals over the full n_epochs budget — is built in
+        # Trainer.__init__ from cfg.train.n_epochs
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, n_epochs=args.epochs))
     if args.resume or args.resume_torch or args.finetune:
+        # an explicit CLI resume flag replaces the config's resume PAIR
+        # wholesale — otherwise a yaml with train.resume set would trip
+        # the resume-xor-resume_torch check with no CLI way to clear it
+        if args.resume or args.resume_torch:
+            resume, resume_torch = args.resume, args.resume_torch
+        else:
+            resume, resume_torch = cfg.train.resume, cfg.train.resume_torch
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(
-                cfg.train,
-                resume=args.resume or cfg.train.resume,
-                resume_torch=args.resume_torch or cfg.train.resume_torch,
+                cfg.train, resume=resume, resume_torch=resume_torch,
                 finetune=args.finetune or cfg.train.finetune))
 
     trainer = Trainer(cfg, args.workdir)
-    trainer.fit(args.epochs)
+    trainer.fit()
     if cfg.train.eval_flag:
         _p, _z, _zk, _tx, l1, l2mm = trainer.export_predictions()
         print(f"test L1: {l1:.6f}")

@@ -28,6 +28,18 @@ ACTIVATIONS = {
 }
 
 
+def _onehot_ok(b, v1: int) -> bool:
+    """Trace-time dispatch for the small-batch one-hot conv path.  Needs a
+    concrete int batch (symbolic-batch serving exports fall through to the
+    shape-polymorphic gather) and a non-CPU backend: the win is specific to
+    the TPU gather engine's ~100 ns/row floor — on CPU the [V1*S, V1]
+    dense matmul is strictly slower (full-scale level 2 would build a
+    ~95 MB one-hot operand per conv call), and the take path is exactly
+    equal anyway (selection sums one product of a 1.0)."""
+    return (isinstance(b, int) and b <= 16 and v1 <= 2048
+            and jax.default_backend() != "cpu")
+
+
 def spiral_gather(x: jnp.ndarray, spiral_idx: jnp.ndarray) -> jnp.ndarray:
     """x [B, V+1, C], spiral_idx [V+1, S] -> [B, V+1, S*C]."""
     b, _, c = x.shape
@@ -51,7 +63,7 @@ def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
         w = w.astype(compute_dtype)
     b, _, c = x.shape
     v1, s = spiral_idx.shape
-    if isinstance(b, int) and b <= 16 and v1 <= 2048:
+    if _onehot_ok(b, v1):
         # small-batch coarse levels: gather (and its backward scatter-add)
         # as a ONE-HOT MXU MATMUL.  XLA's gather/scatter engine costs
         # ~100 ns/row regardless of row width, batch-independent — at

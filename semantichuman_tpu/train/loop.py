@@ -526,13 +526,18 @@ class Trainer:
         f0 = flags_for_epoch(t, e0)
         e = e0
         while e < e1:
-            if flags_for_epoch(t, e + 1) != f0:
-                break
-            e += 1
+            # the boundary test applies to the CURRENT epoch — including
+            # e0 itself — before extending past it: a chunk that crossed a
+            # boundary would save a checkpoint labeled with the boundary
+            # epoch but holding end-of-chunk params, and skip the
+            # boundary's validation (fit() only validates at e == e1)
             if (e % t.ck_frequency == 0
                     or e % max(t.val_every, 1) == 0
                     or (t.save_recons and e % 50 == 0)):
                 break
+            if flags_for_epoch(t, e + 1) != f0:
+                break
+            e += 1
         return e
 
     def _run_epoch_steps(self, epoch: int, interp_iter):

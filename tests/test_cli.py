@@ -300,3 +300,46 @@ def test_fast_recipe_config_smoke(tmp_path):
     tr.fit()
     assert tr.global_step == 4 * len(tr.train_loader)
     assert np.isfinite(tr.validate())
+
+
+def test_train_cli_config_overrides(monkeypatch, tmp_path):
+    """--epochs must land on cfg.train.n_epochs (the cosine schedule is
+    built from it in Trainer.__init__, not from fit()'s argument), and an
+    explicit CLI resume flag must replace the config's resume PAIR so a
+    yaml train.resume cannot trip the resume-xor-resume_torch check."""
+    from semantichuman_tpu.cli import train as T
+    from semantichuman_tpu.train import loop as L
+
+    captured = {}
+
+    class FakeTrainer:
+        def __init__(self, cfg, workdir):
+            captured["cfg"] = cfg
+
+        def fit(self, n_epochs=None):
+            captured["fit_n"] = n_epochs
+
+        def export_predictions(self):
+            return (None, None, None, None, 0.0, 0.0)
+
+    monkeypatch.setattr(L, "Trainer", FakeTrainer)
+
+    cfgfile = tmp_path / "cfg.yaml"
+    cfgfile.write_text(
+        "train:\n  n_epochs: 1600\n  resume: /stale/orbax/dir\n")
+
+    T.main(["--workdir", str(tmp_path / "w"), "--config", str(cfgfile),
+            "--epochs", "7", "--resume_torch", "ck.pth.tar",
+            "--synthetic"])
+    cfg = captured["cfg"]
+    assert cfg.train.n_epochs == 7
+    assert captured["fit_n"] is None        # fit() reads cfg.train.n_epochs
+    assert cfg.train.resume is None         # CLI flag replaced the pair
+    assert cfg.train.resume_torch == "ck.pth.tar"
+
+    # no CLI resume flags: the yaml's resume survives --finetune
+    T.main(["--workdir", str(tmp_path / "w2"), "--config", str(cfgfile),
+            "--finetune", "--synthetic"])
+    cfg = captured["cfg"]
+    assert cfg.train.resume == "/stale/orbax/dir"
+    assert cfg.train.finetune

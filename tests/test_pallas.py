@@ -184,10 +184,11 @@ def test_fused_dist_ragged_buckets_and_oversize(_interpret_part_dist,
     assert ptab.oversize_ids and len(ptab.buckets) > 1
 
 
-def test_onehot_conv_path_matches():
-    """The small-batch coarse-level one-hot matmul path (b<=16, v1<=2048)
-    must equal the naive gather formulation EXACTLY (selection sums one
-    product of a 1.0 each)."""
+def test_onehot_conv_path_matches(monkeypatch):
+    """The small-batch coarse-level one-hot matmul path (b<=16, v1<=2048,
+    non-CPU backend) must equal the naive gather formulation EXACTLY
+    (selection sums one product of a 1.0 each); the dispatch gate must
+    stay off on CPU, where the dense matmul is strictly slower."""
     rng = np.random.default_rng(11)
     v1, s, c, co = 300, 7, 32, 16
     idx = rng.integers(0, v1, (v1, s)).astype(np.int32)
@@ -198,6 +199,17 @@ def test_onehot_conv_path_matches():
     x[:, -1] = 0.0
 
     import jax
+
+    import importlib
+
+    # ops/__init__ re-exports the FUNCTION under the submodule's name, so
+    # fetch the module itself to reach the dispatch gate
+    SC = importlib.import_module("semantichuman_tpu.ops.spiral_conv")
+
+    # on the CPU test backend the dispatch must keep the take path even
+    # though the shape qualifies
+    assert not SC._onehot_ok(4, v1)
+    monkeypatch.setattr(SC, "_onehot_ok", lambda bb, vv: True)
 
     def take_formulation(dtype):
         xj = jnp.asarray(x)

@@ -235,3 +235,40 @@ def test_scan_epoch_chunking_matches_per_epoch(tmp_path, small_assets,
                                        "checkpoints", "2"))
     assert os.path.exists(os.path.join(str(tmp_path), "chunkN",
                                        "checkpoints", "4"))
+
+
+def test_scan_chunk_end_boundaries():
+    """The chunk builder must treat the chunk's FIRST epoch as a potential
+    host-action boundary too: a chunk that crossed one would save a
+    checkpoint labeled with the boundary epoch but holding end-of-chunk
+    params, and silently skip the boundary's validation (fit() validates
+    only at chunk end).  Epochs are picked above every default *_epoch
+    loss-gate threshold so flags_for_epoch is constant across the probes."""
+    import dataclasses
+    from types import SimpleNamespace
+
+    from semantichuman_tpu.config import Config
+    from semantichuman_tpu.train.loop import Trainer
+
+    def end(e0, **kw):
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **kw))
+        return Trainer._scan_chunk_end(
+            SimpleNamespace(cfg=cfg), e0, 1000)
+
+    common = dict(scan_epochs=4, ck_frequency=5, val_every=1000,
+                  save_recons=False)
+    # a chunk starting ON a ck boundary must end there (1-epoch chunk)
+    assert end(105, **common) == 105
+    # otherwise extend to the scan limit / clip AT the next boundary
+    assert end(106, **common) == 109
+    assert end(107, **common) == 110
+    # default val_every=1: every epoch needs a val pass -> chunks never fuse
+    assert end(101, scan_epochs=4, ck_frequency=1000,
+               save_recons=False) == 101
+    # sample-dump epochs (save_recons, multiples of 50) are boundaries too
+    assert end(150, scan_epochs=4, ck_frequency=1000, val_every=1000,
+               save_recons=True) == 150
+    assert end(148, scan_epochs=4, ck_frequency=1000, val_every=1000,
+               save_recons=True) == 150
