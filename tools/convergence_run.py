@@ -28,7 +28,10 @@ def main(argv=None):
     ap.add_argument("--workdir", default="results/convergence300")
     ap.add_argument("--config", default=None,
                     help="YAML config (default: full-scale synthetic)")
-    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override cfg.train.n_epochs (default: the "
+                         "config's budget — fixed-budget recipes like "
+                         "train_fast.yaml anneal their cosine lr over it)")
     ap.add_argument("--eval_every", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -39,22 +42,23 @@ def main(argv=None):
     from semantichuman_tpu.train.loop import Trainer
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
+    n_epochs = args.epochs or cfg.train.n_epochs
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, synthetic=True),
-        train=dataclasses.replace(cfg.train, n_epochs=args.epochs,
+        train=dataclasses.replace(cfg.train, n_epochs=n_epochs,
                                   save_recons=True))
     os.makedirs(args.workdir, exist_ok=True)
     curve_path = os.path.join(args.workdir, "curve.jsonl")
 
     trainer = Trainer(cfg, args.workdir)
     start = trainer.start_epoch
-    seg_ends = list(range(start - 1 + args.eval_every, args.epochs + 1,
+    seg_ends = list(range(start - 1 + args.eval_every, n_epochs + 1,
                           args.eval_every))
-    if not seg_ends or seg_ends[-1] != args.epochs:
+    if not seg_ends or seg_ends[-1] != n_epochs:
         # trailing partial segment: --epochs not a multiple of --eval_every
         # must still train (and evaluate) every epoch
-        seg_ends.append(args.epochs)
+        seg_ends.append(n_epochs)
     for seg_end in seg_ends:
         t0 = time.time()
         trainer.fit(seg_end)
