@@ -96,6 +96,9 @@ class TrainConfig:
     # 'exp' (reference StepLR gamma) | 'cosine' (anneal to 0 over
     # n_epochs — fixed-budget fast recipes)
     lr_schedule: str = "exp"
+    # global-norm gradient clip (0 = off, reference parity); stabilizer
+    # for near-the-edge large-batch recipes (see train/optim.py)
+    grad_clip: float = 0.0
     seed: int = 2
     # loss switches / weights (epoch thresholds gate when a term turns on)
     edgereg_epoch: int = 0

@@ -115,7 +115,7 @@ class Trainer:
             cfg.train.lr, cfg.train.weight_decay, cfg.train.lr_decay,
             self.steps_per_epoch, warmup_epochs=cfg.train.lr_warmup_epochs,
             schedule_kind=cfg.train.lr_schedule,
-            n_epochs=cfg.train.n_epochs)
+            n_epochs=cfg.train.n_epochs, grad_clip=cfg.train.grad_clip)
         self.params = self.model.init(cfg.train.seed)
         self.opt_state = self.optimizer.init(self.params)
         self.start_epoch = 1
@@ -695,6 +695,12 @@ class Trainer:
         tlosses = [float(loss_h[eps == e].mean())
                    for e in range(e0, e1 + 1)]
         metrics_last = {n: v[-1] for n, v in ms.items()}
+        if "gnorm" in ms:
+            # a chunk fuses up to scan_epochs × steps-per-epoch steps into
+            # one dispatch; for the stability diagnostic the MAX raw grad
+            # norm across the chunk is the signal (a last-step value would
+            # hide the spike that NaNs a near-the-edge recipe mid-chunk)
+            metrics_last["gnorm"] = ms["gnorm"].max()
         last_batch = (src.take(metas[-1])
                       if cfg.train.save_recons and e1 % 50 == 0 else None)
         return tlosses, metrics_last, last_batch

@@ -10,7 +10,8 @@ import optax
 
 def make_optimizer(lr: float, weight_decay: float, lr_decay: float,
                    steps_per_epoch: int, warmup_epochs: int = 0,
-                   schedule_kind: str = "exp", n_epochs: int = 0):
+                   schedule_kind: str = "exp", n_epochs: int = 0,
+                   grad_clip: float = 0.0):
     """optax chain replicating torch.optim.Adam(weight_decay=λ) + StepLR.
 
     warmup_epochs > 0 adds a linear lr ramp over the first N epochs — a
@@ -20,14 +21,27 @@ def make_optimizer(lr: float, weight_decay: float, lr_decay: float,
     schedule_kind: 'exp' (the reference's per-epoch StepLR gamma) or
     'cosine' (cosine anneal from lr to 0 over n_epochs — a fixed-budget
     schedule that typically beats exponential when the total step count
-    is known, as in the fast large-batch recipe; requires n_epochs)."""
+    is known, as in the fast large-batch recipe; requires n_epochs).
+
+    grad_clip > 0 prepends global-norm gradient clipping (the
+    torch.nn.utils.clip_grad_norm_ convention: raw grads are clipped
+    BEFORE the coupled-L2 decay term is added) — a stabilizer for the
+    near-the-edge large-batch recipes (the fast recipe's lr can NaN
+    mid-cosine on unlucky seeds without it); 0 (the default) reproduces
+    the reference exactly.  The torch-checkpoint optimizer-state importer
+    (utils.import_torch._build_optax_state) walks the chain state by
+    TYPE, so the clip's EmptyState passes through untouched."""
     schedule = make_schedule(lr, lr_decay, steps_per_epoch, warmup_epochs,
                              schedule_kind, n_epochs)
-    return optax.chain(
+    steps = []
+    if grad_clip > 0:
+        steps.append(optax.clip_by_global_norm(grad_clip))
+    steps += [
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(schedule),
-    )
+    ]
+    return optax.chain(*steps)
 
 
 def make_schedule(lr: float, lr_decay: float, steps_per_epoch: int,

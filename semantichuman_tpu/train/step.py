@@ -17,6 +17,7 @@ from dataclasses import dataclass
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..constants import KPS_KEEP, NEWSKL_KEEP, SKL_KEEP
 from ..ops.skeleton import kps2skl, skl2kps
@@ -251,6 +252,9 @@ def make_train_step(model, tables: L.LossTables, optimizer,
     def step(params, opt_state, batch, interp_batch, exc_batch, edit_spec):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, interp_batch, exc_batch, edit_spec)
+        # raw (pre-clip) gradient global-norm: the stability diagnostic
+        # for near-the-edge large-batch recipes (train/optim.py grad_clip)
+        metrics["gnorm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, metrics
@@ -287,6 +291,7 @@ def make_baseline_train_step(model, tables, optimizer, flags: StepFlags,
     def step(params, opt_state, batch):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)
+        metrics["gnorm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, metrics
@@ -356,6 +361,7 @@ def make_epoch_scan_step(model, tables: L.LossTables, optimizer,
             exc = batch_fn(data, meas, ie)
             (_, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 p, batch, interp, exc, spec)
+            m["gnorm"] = optax.global_norm(grads)
             updates, o = optimizer.update(grads, o, p)
             p = jax.tree.map(lambda a, u: a + u, p, updates)
             return (p, o), m

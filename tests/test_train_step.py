@@ -52,6 +52,8 @@ def test_full_train_step_decreases_loss(setup):
     for key in ("rec", "edgereg", "zpartreg", "vol", "interp_kps",
                 "interp_euc", "exc_kps", "exc_euc"):
         assert key in metrics
+    # stability diagnostic: raw (pre-clip) gradient global-norm
+    assert float(metrics["gnorm"]) > 0.0
 
 
 def test_exc_variant_m_compiles(setup):
@@ -182,3 +184,46 @@ def test_lr_schedules():
         make_schedule(1e-3, 0.9, 2, schedule_kind="cosine")
     with pytest.raises(ValueError, match="schedule_kind"):
         make_schedule(1e-3, 0.9, 2, schedule_kind="linear")
+
+
+def test_grad_clip_bounds_update_and_imports():
+    """grad_clip > 0 prepends global-norm clipping: a huge gradient must
+    produce the same update as that gradient rescaled to the clip norm,
+    clip=0 must leave the chain reference-exact, and the torch
+    optimizer-state importer's type-walk must pass the clip's EmptyState
+    through untouched."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from semantichuman_tpu.utils.import_torch import _build_optax_state
+
+    params = {"w": jnp.zeros((4,), jnp.float32)}
+    big = {"w": jnp.full((4,), 100.0, jnp.float32)}       # ||g|| = 200
+
+    opt = make_optimizer(1e-3, 0.0, 0.99, steps_per_epoch=10,
+                         grad_clip=1.0)
+    state = opt.init(params)
+    upd_big, _ = opt.update(big, state, params)
+
+    scaled = {"w": big["w"] / jnp.linalg.norm(big["w"])}  # norm 1.0
+    upd_ref, _ = opt.update(scaled, opt.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd_big["w"]),
+                               np.asarray(upd_ref["w"]), rtol=1e-6)
+
+    # clip=0: chain is the unclipped reference chain (same update)
+    opt0 = make_optimizer(1e-3, 0.0, 0.99, steps_per_epoch=10)
+    u0, _ = opt0.update(big, opt0.init(params), params)
+    ug, _ = make_optimizer(1e-3, 0.0, 0.99, steps_per_epoch=10,
+                           grad_clip=0.0).update(
+        big, opt0.init(params), params)
+    np.testing.assert_array_equal(np.asarray(u0["w"]), np.asarray(ug["w"]))
+
+    # importer: moments land in ScaleByAdamState with the clip present
+    mu = {"w": np.ones((4,), np.float32)}
+    nu = {"w": np.full((4,), 2.0, np.float32)}
+    st = _build_optax_state(opt, params, mu, nu, adam_count=7,
+                            schedule_count=70)
+    adam = [s for s in st if isinstance(s, optax.ScaleByAdamState)]
+    assert len(adam) == 1 and int(adam[0].count) == 7
+    np.testing.assert_array_equal(np.asarray(adam[0].mu["w"]), mu["w"])
