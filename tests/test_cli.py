@@ -261,11 +261,16 @@ def test_convergence_runner_smoke(tmp_path):
                             "train_synthetic_small.yaml")
     wd = str(tmp_path / "conv")
     conv_main(["--workdir", wd, "--config", cfg_path,
-               "--epochs", "2", "--eval_every", "1"])
+               "--epochs", "2", "--eval_every", "1", "--seed", "7"])
     lines = [json.loads(l) for l in open(os.path.join(wd, "curve.jsonl"))]
     assert [r["epoch"] for r in lines] == [1, 2]
     assert all("mm" in r and r["mm"] > 0 for r in lines)
     assert os.path.exists(os.path.join(wd, "predictions", "predictions.npy"))
+    # --seed overrides cfg.train.seed (multi-seed robustness study knob);
+    # train_params.txt is the provenance JSON + appended final metrics
+    raw = open(os.path.join(wd, "checkpoints", "train_params.txt")).read()
+    params, _ = json.JSONDecoder().raw_decode(raw)
+    assert params["config"]["train"]["seed"] == 7
 
 
 def test_fast_recipe_config_smoke(tmp_path):

@@ -33,6 +33,10 @@ def main(argv=None):
                          "config's budget — fixed-budget recipes like "
                          "train_fast.yaml anneal their cosine lr over it)")
     ap.add_argument("--eval_every", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override cfg.train.seed (init + data order) — "
+                         "the multi-seed robustness study runs the same "
+                         "recipe at --seed 2/3/4")
     args = ap.parse_args(argv)
 
     from semantichuman_tpu.utils.compilation_cache import enable_cache
@@ -46,8 +50,9 @@ def main(argv=None):
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, synthetic=True),
-        train=dataclasses.replace(cfg.train, n_epochs=n_epochs,
-                                  save_recons=True))
+        train=dataclasses.replace(
+            cfg.train, n_epochs=n_epochs, save_recons=True,
+            **({"seed": args.seed} if args.seed is not None else {})))
     os.makedirs(args.workdir, exist_ok=True)
     curve_path = os.path.join(args.workdir, "curve.jsonl")
 
