@@ -99,6 +99,14 @@ class TrainConfig:
     # global-norm gradient clip (0 = off, reference parity); stabilizer
     # for near-the-edge large-batch recipes (see train/optim.py)
     grad_clip: float = 0.0
+    # Adam second-moment decay (0.999 = torch default, reference parity);
+    # lower values shorten v-memory — the stale-v stabilizer for
+    # large-batch recipes (see train/optim.py)
+    adam_b2: float = 0.999
+    # >0: skip (zero-update) steps whose grads contain NaN/Inf, giving up
+    # after N consecutive bad steps (optax.apply_if_finite); guards long
+    # scan-chunked runs from one-step poisoning.  0 = off (reference parity)
+    skip_nonfinite: int = 0
     seed: int = 2
     # loss switches / weights (epoch thresholds gate when a term turns on)
     edgereg_epoch: int = 0

@@ -115,7 +115,9 @@ class Trainer:
             cfg.train.lr, cfg.train.weight_decay, cfg.train.lr_decay,
             self.steps_per_epoch, warmup_epochs=cfg.train.lr_warmup_epochs,
             schedule_kind=cfg.train.lr_schedule,
-            n_epochs=cfg.train.n_epochs, grad_clip=cfg.train.grad_clip)
+            n_epochs=cfg.train.n_epochs, grad_clip=cfg.train.grad_clip,
+            adam_b2=cfg.train.adam_b2,
+            skip_nonfinite=cfg.train.skip_nonfinite)
         self.params = self.model.init(cfg.train.seed)
         self.opt_state = self.optimizer.init(self.params)
         self.start_epoch = 1

@@ -11,7 +11,8 @@ import optax
 def make_optimizer(lr: float, weight_decay: float, lr_decay: float,
                    steps_per_epoch: int, warmup_epochs: int = 0,
                    schedule_kind: str = "exp", n_epochs: int = 0,
-                   grad_clip: float = 0.0):
+                   grad_clip: float = 0.0, adam_b2: float = 0.999,
+                   skip_nonfinite: int = 0):
     """optax chain replicating torch.optim.Adam(weight_decay=λ) + StepLR.
 
     warmup_epochs > 0 adds a linear lr ramp over the first N epochs — a
@@ -30,7 +31,23 @@ def make_optimizer(lr: float, weight_decay: float, lr_decay: float,
     mid-cosine on unlucky seeds without it); 0 (the default) reproduces
     the reference exactly.  The torch-checkpoint optimizer-state importer
     (utils.import_torch._build_optax_state) walks the chain state by
-    TYPE, so the clip's EmptyState passes through untouched."""
+    TYPE, so the clip's EmptyState passes through untouched.
+
+    adam_b2 < 0.999 shortens the second-moment memory — the standard
+    large-batch stabilizer for Adam's stale-v failure (after a sudden
+    loss-landscape shift, long-memory v underestimates the new gradient
+    scale and the per-element effective steps blow up even with the raw
+    grads clipped; measured on the fast recipe: seed 3 spikes gnorm
+    2.7 -> 48.8 in one chunk and NaNs with clip=5 alone).  0.999 (the
+    default) is torch.optim.Adam's default, i.e. reference parity.
+
+    skip_nonfinite > 0 wraps the whole chain in optax.apply_if_finite:
+    a step whose gradients contain NaN/Inf is SKIPPED (zero update, Adam
+    moments untouched) instead of poisoning the parameters — after N
+    consecutive bad steps it gives up and lets the update through so the
+    failure stays visible.  Matters most under multi-epoch scan chunks
+    (train.scan_epochs), where a single bad step would otherwise destroy
+    the whole fused dispatch with no host-side chance to intervene."""
     schedule = make_schedule(lr, lr_decay, steps_per_epoch, warmup_epochs,
                              schedule_kind, n_epochs)
     steps = []
@@ -38,10 +55,13 @@ def make_optimizer(lr: float, weight_decay: float, lr_decay: float,
         steps.append(optax.clip_by_global_norm(grad_clip))
     steps += [
         optax.add_decayed_weights(weight_decay),
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_adam(b1=0.9, b2=adam_b2, eps=1e-8),
         optax.scale_by_learning_rate(schedule),
     ]
-    return optax.chain(*steps)
+    opt = optax.chain(*steps)
+    if skip_nonfinite > 0:
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=skip_nonfinite)
+    return opt
 
 
 def make_schedule(lr: float, lr_decay: float, steps_per_epoch: int,

@@ -181,7 +181,15 @@ def _build_optax_state(optimizer, params, mu, nu, adam_count: int,
                 count=jnp.asarray(schedule_count, jnp.int32))
         return s
 
-    return tuple(replace(s) for s in state)
+    def rebuild(st):
+        # train.skip_nonfinite wraps the whole chain in apply_if_finite;
+        # its state is a NamedTuple (NOT the chain tuple — iterating it
+        # would walk its fields), so recurse into inner_state explicitly
+        if isinstance(st, optax.ApplyIfFiniteState):
+            return st._replace(inner_state=rebuild(st.inner_state))
+        return tuple(replace(s) for s in st)
+
+    return rebuild(state)
 
 
 def load_reference_training_state(path: str, model, optimizer,

@@ -227,3 +227,75 @@ def test_grad_clip_bounds_update_and_imports():
     adam = [s for s in st if isinstance(s, optax.ScaleByAdamState)]
     assert len(adam) == 1 and int(adam[0].count) == 7
     np.testing.assert_array_equal(np.asarray(adam[0].mu["w"]), mu["w"])
+
+
+def test_adam_b2_changes_second_moment():
+    """adam_b2 plumbs into scale_by_adam: the second-moment estimate (and
+    hence the second update) must differ from the 0.999 default, while the
+    default keeps reference parity with an explicit 0.999."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    params = {"w": jnp.zeros((4,), jnp.float32)}
+    g1 = {"w": jnp.full((4,), 1.0, jnp.float32)}
+    g2 = {"w": jnp.full((4,), 0.1, jnp.float32)}
+
+    def two_steps(opt):
+        st = opt.init(params)
+        _, st = opt.update(g1, st, params)
+        u, _ = opt.update(g2, st, params)
+        return np.asarray(u["w"])
+
+    u_default = two_steps(make_optimizer(1e-3, 0.0, 0.99, steps_per_epoch=10))
+    u_999 = two_steps(make_optimizer(1e-3, 0.0, 0.99, steps_per_epoch=10,
+                                     adam_b2=0.999))
+    u_95 = two_steps(make_optimizer(1e-3, 0.0, 0.99, steps_per_epoch=10,
+                                    adam_b2=0.95))
+    np.testing.assert_array_equal(u_default, u_999)
+    assert not np.allclose(u_default, u_95)
+
+
+def test_skip_nonfinite_guards_updates_and_imports():
+    """skip_nonfinite > 0 wraps the chain in apply_if_finite: NaN grads
+    produce a zero update with Adam moments untouched, finite grads match
+    the unwrapped chain, and the torch optimizer-state importer recurses
+    through the wrapper to land the moments."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from semantichuman_tpu.utils.import_torch import _build_optax_state
+
+    params = {"w": jnp.zeros((4,), jnp.float32)}
+    good = {"w": jnp.full((4,), 1.0, jnp.float32)}
+    bad = {"w": jnp.array([1.0, jnp.nan, 1.0, 1.0], jnp.float32)}
+
+    opt = make_optimizer(1e-3, 0.0, 0.99, steps_per_epoch=10,
+                         skip_nonfinite=3)
+    st = opt.init(params)
+    u_bad, st_after = opt.update(bad, st, params)
+    np.testing.assert_array_equal(np.asarray(u_bad["w"]), np.zeros(4))
+    assert int(st_after.notfinite_count) == 1
+    adam0 = [s for s in st_after.inner_state
+             if isinstance(s, optax.ScaleByAdamState)][0]
+    np.testing.assert_array_equal(np.asarray(adam0.mu["w"]), np.zeros(4))
+
+    # finite grads: identical update to the unwrapped chain
+    u_g, _ = opt.update(good, opt.init(params), params)
+    ref = make_optimizer(1e-3, 0.0, 0.99, steps_per_epoch=10)
+    u_r, _ = ref.update(good, ref.init(params), params)
+    np.testing.assert_array_equal(np.asarray(u_g["w"]), np.asarray(u_r["w"]))
+
+    # importer lands moments through the wrapper
+    mu = {"w": np.ones((4,), np.float32)}
+    nu = {"w": np.full((4,), 2.0, np.float32)}
+    st_imp = _build_optax_state(opt, params, mu, nu, adam_count=5,
+                                schedule_count=50)
+    assert isinstance(st_imp, optax.ApplyIfFiniteState)
+    adam = [s for s in st_imp.inner_state
+            if isinstance(s, optax.ScaleByAdamState)]
+    assert len(adam) == 1 and int(adam[0].count) == 5
+    np.testing.assert_array_equal(np.asarray(adam[0].mu["w"]), mu["w"])
+    # and the imported state drives an update
+    u_i, _ = opt.update(good, st_imp, params)
+    assert np.all(np.isfinite(np.asarray(u_i["w"])))
