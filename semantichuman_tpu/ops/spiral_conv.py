@@ -101,6 +101,29 @@ def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
         y = act(y + bias.astype(y.dtype))
         y = y.at[-1, :, :].set(0.0)                          # dummy vertex
         return jnp.transpose(y, (1, 0, 2))
+    if c >= 64 and isinstance(b, int) and b >= 32:
+        # wide-channel large-batch convs: leave the (S, C) contraction to
+        # dot_general as an einsum over the 4D gathered tensor instead of
+        # reshaping to [B, V1, S*C] and matmul-ing flat.  Same math (f32
+        # MXU accumulation either way; only the contraction order
+        # differs), but measured 1.3-2.0x fwd+bwd at c_in >= 64 on the
+        # v5e (benchmarks/vertex_major_trunk_probe.py: B=128 bf16 L4
+        # 1.91x, dec-L3 2.00x, dec-L2 1.42x; B=64 f32 1.31-1.79x) — the
+        # flat-reshape form makes XLA materialize an extra relayout copy
+        # of the gathered buffer that the einsum form never creates.
+        # Below c_in 64 the two forms tie (1.04-1.07x, not worth losing
+        # bit-exactness with the reference-shaped flat dot); a SYMBOLIC
+        # batch (serving exports) falls through — the comparison needs a
+        # concrete int.  A full vertex-major trunk was probed at the same
+        # time and REJECTED: the [V,B,C]-resident einsum form ties this
+        # batch-major einsum at every level, so the layout flip buys
+        # nothing the contraction form doesn't.
+        g = jnp.take(x, spiral_idx.reshape(-1), axis=1)
+        y = jnp.einsum("bvsc,scd->bvd", g.reshape(b, v1, s, c),
+                       w.reshape(s, c, -1),
+                       preferred_element_type=jnp.float32)
+        y = act(y + bias.astype(y.dtype))
+        return y.at[:, -1, :].set(0.0)
     feats = spiral_gather(x, spiral_idx)
     y = jnp.dot(feats, w, preferred_element_type=jnp.float32)
     y = act(y + bias.astype(y.dtype))
