@@ -1,0 +1,223 @@
+"""Probe: spiral gather/scatter as a BANDED one-hot matmul (fine levels).
+
+The r3 one-hot adoption (coarse_trunk_probe.py) converted the gather row
+floor into MXU matmuls for levels 2-4 but was REJECTED at the two fine
+levels (L0 0.76x, L1 1.16x) and at large batch (0.48x): the full one-hot
+selection matrix is [V1*S, V1], so its FLOPs grow with V1^2*S and outrun
+the ~100 ns/row gather/scatter floor exactly where V1 is big.
+
+What the full form ignores is SPIRAL LOCALITY: on the production topology
+97%+ of non-dummy spiral indices lie within a narrow band of their center
+vertex (measured on assets/topology_synth_full_2222.npz: block R=512 /
+window W=1024 leaves 2.3% of L0 entries out-of-band; R=256 / W=768 leaves
+2.4% at 75% of the FLOPs).  A BLOCK-BANDED one-hot —
+  g[v*S+s] = sum_w G[blk(v), (v%R)*S+s, w] * x[start(blk)+w]
+— cuts the matmul's K dimension from V1 to W (a V1/W ~ 7-9x FLOP cut),
+keeps the backward a pure (transposed) matmul instead of a scatter-add
+over V1*S rows, and handles the out-of-band tail with an exact sparse
+fixup (gather + at[].add over the ~2.3% positions; its VJP is a scatter
+over the same ~2.3% of rows — the row floor shrinks 40x).  Dummy pads
+(33% of L0 entries!) hit no band column and contribute an exact zero —
+in the take form every pad still costs a full gather row.
+
+Band tables ride as DEVICE ARGUMENTS (built once per topology host-side,
+bf16): on-the-fly iota-compare construction would materialize the same
+bytes per step, and arguments avoid the axon HTTP-413 constant limit.
+
+Measures fwd+bwd of the fine-level convs (production filter plan, both
+the narrow encoder entry 3->16 and the wide decoder-side 16->16) at
+B=12 (the paper recipe's concatenated 3-branch trunk batch) and B=128
+(headline), bf16 compute, against the production `spiral_conv_take`
+dispatcher.  Accept bar: the established 1.2x.
+
+  python benchmarks/banded_gather_probe.py
+  SH_TPU_PROBE_B=128 SH_TPU_PROBE_LEVELS=0 python benchmarks/banded_gather_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ITERS = int(os.environ.get("SH_TPU_PROBE_ITERS", "100"))
+
+
+def build_band_tables(sp: np.ndarray, R: int, W: int):
+    """[V1, S] spiral table -> banded selection tables.
+
+    Returns dict with:
+      G        [nblk, R*S, W] bf16 — per-block one-hot over the window
+      starts   [nblk] int — window start row in the PADDED (by W) input
+      fix_pos  [nfix_pad] int — flat v*S+s rows needing out-of-band fixup
+      fix_src  [nfix_pad] int — source vertex row for each fixup
+    Fixups are padded to a multiple of 8 with (pos=0, src=dummy): the
+    dummy row is zero by construction, so the padded adds are exact no-ops.
+    """
+    import ml_dtypes
+
+    v1, s = sp.shape
+    dummy = v1 - 1
+    nblk = (v1 + R - 1) // R
+    starts = np.array([n * R + R // 2 - W // 2 + W for n in range(nblk)],
+                      np.int32)  # +W: input padded by W rows on each side
+    rows = np.arange(v1)
+    rel = sp + W - starts[rows // R][:, None]            # [v1, S]
+    hit = (rel >= 0) & (rel < W)
+    G = np.zeros((nblk, R * s, W), dtype=ml_dtypes.bfloat16)
+    vv, ss = np.nonzero(hit)
+    G[vv // R, (vv % R) * s + ss, rel[vv, ss]] = 1.0
+    miss_v, miss_s = np.nonzero(~hit & (sp != dummy))
+    fix_pos = miss_v * s + miss_s
+    fix_src = sp[miss_v, miss_s]
+    pad = (-len(fix_pos)) % 8
+    fix_pos = np.concatenate([fix_pos, np.zeros(pad, np.int64)])
+    fix_src = np.concatenate([fix_src, np.full(pad, dummy, np.int64)])
+    return {"G": G, "starts": starts,
+            "fix_pos": fix_pos.astype(np.int32),
+            "fix_src": fix_src.astype(np.int32),
+            "R": R, "W": W, "v1": v1, "s": s,
+            "oob_frac": len(miss_v) / sp.size}
+
+
+def banded_conv(x, G, fix_pos, fix_src, w, bias, starts, R, W,
+                activation="elu", compute_dtype=None):
+    """Spiral conv with the gather as a block-banded one-hot matmul."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantichuman_tpu.ops.spiral_conv import ACTIVATIONS
+
+    act = ACTIVATIONS[activation]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    b, v1, c = x.shape
+    nblk, rs, _ = G.shape
+    s = rs // R
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
+    xpad = jnp.pad(xp, ((W, W), (0, 0)))
+    win = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, int(st), W)
+                     for st in starts])                  # [nblk, W, B*C]
+    g = jnp.einsum("nrw,nwc->nrc", G.astype(x.dtype), win,
+                   preferred_element_type=x.dtype)       # [nblk, R*S, B*C]
+    g = g.reshape(nblk * R * s, b * c)[:v1 * s]
+    g = g.at[fix_pos].add(jnp.take(xp, fix_src, axis=0))
+    g = (g.reshape(v1, s, b, c).transpose(2, 0, 1, 3)
+         .reshape(b, v1, s * c))
+    y = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    y = act(y + bias.astype(y.dtype))
+    return y.at[:, -1, :].set(0.0)
+
+
+def _timed_grad(fn, args, iters=ITERS):
+    """sec/iter of grad(fn) chained through a data dependency (axon timing
+    rules: perturb inputs, fetch a scalar, >=100 chained iters — see
+    docs/BENCHMARKS.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    def loss(x, *rest):
+        return jnp.sum(fn(x, *rest).astype(jnp.float32))
+
+    g = jax.grad(loss)
+
+    @jax.jit
+    def chain(x, *rest):
+        def body(carry, _):
+            y = g(carry, *rest)
+            return carry + 1e-12 * y, ()
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return out
+
+    r = chain(*args)
+    float(jnp.sum(r))
+    best = float("inf")
+    for rep in range(2):
+        args2 = (args[0] * (1.0 + 1e-6 * (rep + 1)),) + tuple(args[1:])
+        t0 = time.perf_counter()
+        r = chain(*args2)
+        float(jnp.sum(r))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from semantichuman_tpu.utils.compilation_cache import enable_cache
+    enable_cache()
+    from semantichuman_tpu.ops.spiral_conv import spiral_conv_take
+    from semantichuman_tpu.topology.compiler import MeshHierarchy
+
+    hier = MeshHierarchy.load(os.path.join(REPO, "assets",
+                                           "topology_synth_full_2222.npz"))
+    env_b = os.environ.get("SH_TPU_PROBE_B")
+    batches = [int(env_b)] if env_b else [12, 128]
+    env_l = os.environ.get("SH_TPU_PROBE_LEVELS")
+    levels = ([int(x) for x in env_l.split(",")] if env_l else [0, 1])
+    # production filter plan shapes per level: (c_in, c_out) — encoder
+    # entry + the wide decoder-side conv at the same level
+    plan = {0: [(3, 16), (16, 16)], 1: [(16, 32), (32, 32)]}
+    bands = [(256, 768), (512, 1024)]
+
+    rng = np.random.default_rng(0)
+    out = []
+    for lvl in levels:
+        sp_np = np.asarray(hier.spirals[lvl])
+        v1, s = sp_np.shape
+        sp = jnp.asarray(sp_np)
+        tabs = {rw: build_band_tables(sp_np, *rw) for rw in bands}
+        dev_tabs = {rw: {k: jnp.asarray(v) for k, v in t.items()
+                         if isinstance(v, np.ndarray)}
+                    for rw, t in tabs.items()}
+        for c_in, c_out in plan[lvl]:
+            w = jnp.asarray(rng.standard_normal((s * c_in, c_out)) * 0.02,
+                            jnp.float32)
+            bias = jnp.zeros((c_out,), jnp.float32)
+            for b in batches:
+                x = np.asarray(rng.standard_normal((b, v1, c_in)),
+                               np.float32)
+                x[:, -1] = 0.0
+                x = jnp.asarray(x)
+                rec = {"level": lvl, "c_in": c_in, "c_out": c_out,
+                       "batch": b, "v1": v1, "s": s}
+                t_take = _timed_grad(
+                    lambda xx, spx, wx, bx: spiral_conv_take(
+                        xx, spx, wx, bx, "elu", compute_dtype=jnp.bfloat16),
+                    (x, sp, w, bias))
+                rec["take_ms"] = round(t_take * 1e3, 3)
+                y_ref = spiral_conv_take(x, sp, w, bias, "elu",
+                                         compute_dtype=jnp.bfloat16)
+                for (R, W) in bands:
+                    dt = dev_tabs[(R, W)]
+                    t_band = _timed_grad(
+                        lambda xx, Gx, fp, fs, wx, bx, _R=R, _W=W,
+                               _st=tabs[(R, W)]["starts"]: banded_conv(
+                            xx, Gx, fp, fs, wx, bx, _st, _R, _W,
+                            "elu", compute_dtype=jnp.bfloat16),
+                        (x, dt["G"], dt["fix_pos"], dt["fix_src"], w, bias))
+                    y_band = banded_conv(
+                        x, dt["G"], dt["fix_pos"], dt["fix_src"], w, bias,
+                        tabs[(R, W)]["starts"], R, W, "elu",
+                        compute_dtype=jnp.bfloat16)
+                    err = float(jnp.max(jnp.abs(y_ref - y_band)))
+                    rec[f"band{R}x{W}_ms"] = round(t_band * 1e3, 3)
+                    rec[f"band{R}x{W}_speedup"] = round(t_take / t_band, 2)
+                    rec[f"band{R}x{W}_err"] = err
+                    rec[f"band{R}x{W}_oob_pct"] = round(
+                        100 * tabs[(R, W)]["oob_frac"], 2)
+                print(json.dumps(rec), flush=True)
+                out.append(rec)
+    return out
+
+
+if __name__ == "__main__":
+    main()

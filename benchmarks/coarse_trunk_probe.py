@@ -23,7 +23,13 @@ row floor dominates and the MXU idles.
 
 This probe measures fwd+bwd of each encoder level's conv (paper filter
 plan) in both formulations at B=4 and B=128, bf16 compute, on the real
-full-scale topology.  Timing uses jitted multi-iteration loops with a
+full-scale topology.  Both sides import the EXPLICIT production forms
+(spiral_conv_take/spiral_conv_onehot, pool_take/pool_dense,
+unpool_take/unpool_dense) rather than the public dispatchers — the
+dispatchers now adopt the one-hot path at small batch (this probe's own
+finding), so measuring them would compare the adopted path to itself.
+Probe-only rejected variants (resident-G conv, Precision.HIGHEST unpool)
+stay local.  Timing uses jitted multi-iteration loops with a
 data dependency (naive re-run loops overlap on the axon remote platform
 — see docs/BENCHMARKS.md).
 
@@ -81,31 +87,6 @@ def onehot_conv(x, G, s, w, bias, activation="elu", compute_dtype=None):
     return y.at[:, -1, :].set(0.0)
 
 
-def onehot_conv_fly(x, spiral_idx, w, bias, activation="elu",
-                    compute_dtype=None):
-    """One-hot conv with G built ON THE FLY inside the trace (iota-compare
-    one_hot of the spiral table): no multi-MB constant shipped with the
-    program — the integration-candidate form."""
-    import jax
-    import jax.numpy as jnp
-
-    from semantichuman_tpu.ops.spiral_conv import ACTIVATIONS
-
-    act = ACTIVATIONS[activation]
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    b, v1, c = x.shape
-    s = spiral_idx.shape[1]
-    G = jax.nn.one_hot(spiral_idx.reshape(-1), v1, dtype=x.dtype)
-    xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
-    g = jnp.dot(G, xp, preferred_element_type=x.dtype)
-    g = g.reshape(v1, s, b, c).transpose(2, 0, 1, 3).reshape(b, v1, s * c)
-    y = jnp.dot(g, w, preferred_element_type=jnp.float32)
-    y = act(y + bias.astype(y.dtype))
-    return y.at[:, -1, :].set(0.0)
-
-
 def _timed_grad(fn, args, iters=ITERS):
     """sec/iter of grad(fn) chained through a data dependency.  All device
     operands ride as ARGUMENTS (closures over large device arrays inside
@@ -152,7 +133,8 @@ def main():
 
     from semantichuman_tpu.utils.compilation_cache import enable_cache
     enable_cache()
-    from semantichuman_tpu.ops.spiral_conv import spiral_conv
+    from semantichuman_tpu.ops.spiral_conv import (spiral_conv_onehot,
+                                                   spiral_conv_take)
     from semantichuman_tpu.topology.compiler import MeshHierarchy
 
     hier = MeshHierarchy.load(os.path.join(REPO, "assets",
@@ -182,7 +164,7 @@ def main():
         for b in batches:
             x = jnp.asarray(rng.standard_normal((b, v1, c_in)), jnp.float32)
             t_take = _timed_grad(
-                lambda xx, spx, wx, bx: spiral_conv(
+                lambda xx, spx, wx, bx: spiral_conv_take(
                     xx, spx, wx, bx, "elu", compute_dtype=jnp.bfloat16),
                 (x, sp_j, w, bias))
             t_oh = _timed_grad(
@@ -190,12 +172,12 @@ def main():
                     xx, gx, s, wx, bx, "elu", compute_dtype=jnp.bfloat16),
                 (x, G, w, bias))
             t_fly = _timed_grad(
-                lambda xx, spx, wx, bx: onehot_conv_fly(
+                lambda xx, spx, wx, bx: spiral_conv_onehot(
                     xx, spx, wx, bx, "elu", compute_dtype=jnp.bfloat16),
                 (x, sp_j, w, bias))
             # correctness cross-check (fwd)
-            y1 = spiral_conv(x, sp_j, w, bias, "elu",
-                             compute_dtype=jnp.bfloat16)
+            y1 = spiral_conv_take(x, sp_j, w, bias, "elu",
+                                  compute_dtype=jnp.bfloat16)
             y2 = onehot_conv(x, G, s, w, bias, "elu",
                              compute_dtype=jnp.bfloat16)
             err = float(jnp.max(jnp.abs(y1 - y2)))
@@ -217,24 +199,6 @@ def main():
 
 # --- unpool: barycentric 3-gather vs on-the-fly dense-U matmul ---------------
 
-def unpool_dense(x, unpool_idx, unpool_w):
-    """unpool as U @ x with U = sum_k one_hot(idx_k)*w_k built on the fly.
-    Same three products per output row as the gather-3 path (weights cast
-    to x.dtype exactly like ops.sampling.unpool); the VJP becomes U^T @ dy
-    — a matmul instead of a scatter-add over V_f*3 rows."""
-    import jax
-    import jax.numpy as jnp
-
-    b, vc1, c = x.shape
-    w = unpool_w.astype(x.dtype)
-    U = sum(jax.nn.one_hot(unpool_idx[:, k], vc1, dtype=x.dtype)
-            * w[:, k:k + 1] for k in range(unpool_idx.shape[1]))
-    xp = jnp.transpose(x, (1, 0, 2)).reshape(vc1, b * c)
-    y = jnp.dot(U, xp, preferred_element_type=jnp.float32)
-    vf1 = unpool_idx.shape[0]
-    return jnp.transpose(y.reshape(vf1, b, c), (1, 0, 2)).astype(x.dtype)
-
-
 def unpool_dense_hi(x, unpool_idx, unpool_w):
     """unpool_dense with Precision.HIGHEST: the MXU truncates f32 operands
     to bf16 per pass by default (~1.5e-2 abs err on N(0,1) activations);
@@ -253,28 +217,14 @@ def unpool_dense_hi(x, unpool_idx, unpool_w):
     return jnp.transpose(y.reshape(vf1, b, c), (1, 0, 2)).astype(x.dtype)
 
 
-def pool_dense(x, pool_idx, vf1):
-    """pool (pure row selection) as one_hot(pool_idx) @ x: forward trades
-    a [Vc1]-row gather for a [Vc1, Vf1] matmul; the VJP becomes P^T @ dy —
-    a matmul instead of a scatter-add over Vc1 rows."""
-    import jax
-    import jax.numpy as jnp
-
-    b, _, c = x.shape
-    P = jax.nn.one_hot(pool_idx, vf1, dtype=x.dtype)
-    xp = jnp.transpose(x, (1, 0, 2)).reshape(vf1, b * c)
-    y = jnp.dot(P, xp, preferred_element_type=x.dtype)
-    vc1 = pool_idx.shape[0]
-    return jnp.transpose(y.reshape(vc1, b, c), (1, 0, 2))
-
-
 def main_unpool():
     import jax
     import jax.numpy as jnp
 
     from semantichuman_tpu.utils.compilation_cache import enable_cache
     enable_cache()
-    from semantichuman_tpu.ops.sampling import pool, unpool
+    from semantichuman_tpu.ops.sampling import (pool_dense, pool_take,
+                                                unpool_dense, unpool_take)
     from semantichuman_tpu.topology.compiler import MeshHierarchy
 
     hier = MeshHierarchy.load(os.path.join(REPO, "assets",
@@ -297,12 +247,12 @@ def main_unpool():
         for b in batches:
             x = jnp.asarray(rng.standard_normal((b, vc1, c)), jnp.float32)
             t_take = _timed_grad(
-                lambda xx, ix, wx: unpool(xx, ix, wx), (x, idx, w))
+                lambda xx, ix, wx: unpool_take(xx, ix, wx), (x, idx, w))
             t_dense = _timed_grad(
                 lambda xx, ix, wx: unpool_dense(xx, ix, wx), (x, idx, w))
             t_hi = _timed_grad(
                 lambda xx, ix, wx: unpool_dense_hi(xx, ix, wx), (x, idx, w))
-            y1 = unpool(x, idx, w)
+            y1 = unpool_take(x, idx, w)
             y2 = unpool_dense(x, idx, w)
             y3 = unpool_dense_hi(x, idx, w)
             err = float(jnp.max(jnp.abs(y1 - y2)))
@@ -333,11 +283,12 @@ def main_unpool():
                "by_batch": {}}
         for b in batches:
             x = jnp.asarray(rng.standard_normal((b, vf1, c)), jnp.float32)
-            t_take = _timed_grad(lambda xx, ix: pool(xx, ix), (x, pidx))
+            t_take = _timed_grad(lambda xx, ix: pool_take(xx, ix),
+                                 (x, pidx))
             t_dense = _timed_grad(
-                lambda xx, ix: pool_dense(xx, ix, vf1), (x, pidx))
-            err = float(jnp.max(jnp.abs(pool(x, pidx)
-                                        - pool_dense(x, pidx, vf1))))
+                lambda xx, ix: pool_dense(xx, ix), (x, pidx))
+            err = float(jnp.max(jnp.abs(pool_take(x, pidx)
+                                        - pool_dense(x, pidx))))
             rec["by_batch"][str(b)] = {
                 "take_ms": round(t_take * 1e3, 3),
                 "dense_ms": round(t_dense * 1e3, 3),

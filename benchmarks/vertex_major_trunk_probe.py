@@ -14,7 +14,10 @@ This probe measures what a WHOLE-TRUNK adoption would see — activations
 resident in [V, B, C] between levels, so no per-conv wrap — against the
 production path, per encoder level, fwd+bwd at large batch:
 
-  * batch_major : production spiral_conv (take + matmul, pre-gather bf16)
+  * batch_major : flat reshape+dot baseline (take + matmul, pre-gather
+                  bf16) — the PRE-ADOPTION production conv, kept ungated
+                  here since production now dispatches to bm_einsum at
+                  c_in >= 64, b >= 32
   * vmaj        : input/output [V1, B, C]; gather rows from [V1, B*C];
                   the (S,B) transpose + [V1*B, S*C] @ W matmul
   * vmaj_einsum : same residency, but the contraction left to XLA as
@@ -44,6 +47,29 @@ sys.path.insert(0, REPO)
 ITERS = int(os.environ.get("SH_TPU_PROBE_ITERS", "100"))
 
 
+def flat_conv(x, spiral_idx, w, bias, activation="elu",
+              compute_dtype=None):
+    """Batch-major flat reshape+dot form: the PRE-ADOPTION production conv
+    and this probe's baseline.  Kept explicit and ungated here — production
+    spiral_conv now dispatches to the einsum form at c_in >= 64, b >= 32
+    (this probe's own finding), so measuring the public entry point would
+    compare the adopted form against itself."""
+    import jax.numpy as jnp
+
+    from semantichuman_tpu.ops.spiral_conv import ACTIVATIONS
+
+    act = ACTIVATIONS[activation]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    b, v1, c = x.shape
+    s = spiral_idx.shape[1]
+    g = jnp.take(x, spiral_idx.reshape(-1), axis=1).reshape(b, v1, s * c)
+    y = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    y = act(y + bias.astype(y.dtype))
+    return y.at[:, -1, :].set(0.0)
+
+
 def vmaj_conv(xt, spiral_idx, w, bias, activation="elu",
               compute_dtype=None, einsum=False):
     """Vertex-major spiral conv: xt [V+1, B, C] -> [V+1, B, C_out]."""
@@ -71,9 +97,12 @@ def vmaj_conv(xt, spiral_idx, w, bias, activation="elu",
 
 def bm_einsum_conv(x, spiral_idx, w, bias, activation="elu",
                    compute_dtype=None):
-    """Batch-major einsum form: same gather as production, but the (S,C)
-    contraction is left to dot_general instead of materializing the
-    transposed [B, V1, S*C] copy."""
+    """Batch-major einsum form: same gather as the flat baseline, but the
+    (S,C) contraction is left to dot_general instead of materializing the
+    transposed [B, V1, S*C] copy.  This is the form ADOPTED into production
+    (ops/spiral_conv.py, spiral_conv_take's c_in >= 64 branch); kept
+    explicit here so the probe measures the form at any shape, bypassing
+    the production dispatch gates."""
     import jax.numpy as jnp
 
     from semantichuman_tpu.ops.spiral_conv import ACTIVATIONS
@@ -139,7 +168,6 @@ def main():
 
     from semantichuman_tpu.utils.compilation_cache import enable_cache
     enable_cache()
-    from semantichuman_tpu.ops.spiral_conv import spiral_conv
     from semantichuman_tpu.topology.compiler import MeshHierarchy
 
     hier = MeshHierarchy.load(os.path.join(REPO, "assets",
@@ -166,7 +194,7 @@ def main():
         xt = jnp.asarray(np.transpose(np.asarray(x), (1, 0, 2)))
 
         t_bm = _timed_grad(
-            lambda xx, spx, wx, bx: spiral_conv(
+            lambda xx, spx, wx, bx: flat_conv(
                 xx, spx, wx, bx, "elu", compute_dtype=jnp.bfloat16),
             (x, sp_j, w, bias))
         t_vm = _timed_grad(

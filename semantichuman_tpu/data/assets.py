@@ -49,11 +49,12 @@ class BodyAssets:
         pd_raw = np.load(pd_path, allow_pickle=True)
         try:
             pd = pd_raw.item()
-            assert isinstance(pd, dict)
         except Exception:
+            pd = None
+        if not isinstance(pd, dict):
             raise ValueError(
                 f"{pd_path}: expected a pickled dict of part-name -> vertex "
-                f"indices, got {type(pd_raw)!r}") from None
+                f"indices, got {type(pd if pd is not None else pd_raw)!r}")
         part_dict = {}
         for k, v in pd.items():
             idx = np.asarray(v).reshape(-1).astype(np.int64)

@@ -73,13 +73,18 @@ def pool_dense(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(y.reshape(vc1, b, c), (1, 0, 2)).astype(x.dtype)
 
 
+def pool_take(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
+    """pool as a plain row-selection gather (the baseline form)."""
+    return jnp.take(x, pool_idx, axis=1)
+
+
 def pool(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
     """x [B, V_f+1, C], pool_idx [V_c+1] -> [B, V_c+1, C] by row selection
     (one-hot matmul at small B — measured 1.2-1.7x fwd+bwd on all levels)."""
     b, vf1, _ = x.shape
     if _onehot_ok(b, vf1):
         return pool_dense(x, pool_idx)
-    return jnp.take(x, pool_idx, axis=1)
+    return pool_take(x, pool_idx)
 
 
 def unpool_dense(x: jnp.ndarray, unpool_idx: jnp.ndarray,
@@ -97,13 +102,21 @@ def unpool_dense(x: jnp.ndarray, unpool_idx: jnp.ndarray,
     return jnp.transpose(y.reshape(vf1, b, c), (1, 0, 2)).astype(x.dtype)
 
 
+def unpool_take(x: jnp.ndarray, unpool_idx: jnp.ndarray,
+                unpool_w: jnp.ndarray) -> jnp.ndarray:
+    """unpool as a barycentric 3-gather + weighted sum (the baseline form)."""
+    b, _, c = x.shape
+    vf1 = unpool_idx.shape[0]
+    g = jnp.take(x, unpool_idx.reshape(-1), axis=1).reshape(b, vf1, 3, c)
+    return jnp.einsum("bvkc,vk->bvc", g, unpool_w.astype(x.dtype))
+
+
 def unpool(x: jnp.ndarray, unpool_idx: jnp.ndarray,
            unpool_w: jnp.ndarray) -> jnp.ndarray:
     """x [B, V_c+1, C], unpool_idx [V_f+1, 3], unpool_w [V_f+1, 3]
     -> [B, V_f+1, C] via barycentric 3-gather (one-hot matmul at small B)."""
-    b, _, c = x.shape
+    b, _, _ = x.shape
     vf1 = unpool_idx.shape[0]
     if _onehot_ok(b, vf1):
         return unpool_dense(x, unpool_idx, unpool_w)
-    g = jnp.take(x, unpool_idx.reshape(-1), axis=1).reshape(b, vf1, 3, c)
-    return jnp.einsum("bvkc,vk->bvc", g, unpool_w.astype(x.dtype))
+    return unpool_take(x, unpool_idx, unpool_w)

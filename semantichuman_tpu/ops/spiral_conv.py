@@ -11,6 +11,13 @@ Dummy semantics: spiral tables arrive with pads already resolved to the
 explicit dummy row index V (topology.compiler), the input's dummy row is
 zero, and the output's dummy row is re-zeroed after the bias/activation —
 bit-identical to the reference's mask multiply.
+
+`spiral_conv` dispatches between two explicit forms (both exported so
+benchmarks/tests can measure each against the other):
+  * `spiral_conv_take`   — gather-based; the reference-shaped baseline,
+    itself layout-switched by (batch, channel) regime;
+  * `spiral_conv_onehot` — the gather as a one-hot MXU matmul, adopted for
+    small-batch coarse levels on TPU.
 """
 
 from __future__ import annotations
@@ -48,10 +55,44 @@ def spiral_gather(x: jnp.ndarray, spiral_idx: jnp.ndarray) -> jnp.ndarray:
     return g.reshape(b, v1, s * c)
 
 
-def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
-                bias: jnp.ndarray, activation: str = "elu",
-                compute_dtype=None) -> jnp.ndarray:
-    """x [B, V+1, C_in], w [S*C_in, C_out], bias [C_out] -> [B, V+1, C_out]."""
+def spiral_conv_onehot(x: jnp.ndarray, spiral_idx: jnp.ndarray,
+                       w: jnp.ndarray, bias: jnp.ndarray,
+                       activation: str = "elu",
+                       compute_dtype=None) -> jnp.ndarray:
+    """Small-batch coarse-level form: the gather (and its backward
+    scatter-add) as a ONE-HOT MXU MATMUL.  XLA's gather/scatter engine
+    costs ~100 ns/row regardless of row width, batch-independent — at
+    small batch that row floor dominates the conv while the MXU idles; a
+    one-hot selection matrix built on the fly (iota-compare, fused by XLA)
+    turns both directions into matmuls.  Exact: every output row sums
+    exactly one product of a 1.0.  Measured on the v5e
+    (benchmarks/coarse_trunk_probe.py, B=4 fwd+bwd): 2.26x / 1.98x / 1.57x
+    on levels 2/3/4; REJECTED at L0 (0.76x — the [V1·S, V1] matmul's FLOPs
+    outgrow the row floor), L1 (1.16x, below the 1.2x bar), and any level
+    at B=128 (0.48x — FLOPs scale with B, the row floor doesn't)."""
+    act = ACTIVATIONS[activation]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    b, _, c = x.shape
+    v1, s = spiral_idx.shape
+    G = jax.nn.one_hot(spiral_idx.reshape(-1), v1, dtype=x.dtype)
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
+    g = jnp.dot(G, xp, preferred_element_type=x.dtype)
+    g = (g.reshape(v1, s, b, c).transpose(2, 0, 1, 3)
+         .reshape(b, v1, s * c))
+    y = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    y = act(y + bias.astype(y.dtype))
+    return y.at[:, -1, :].set(0.0)
+
+
+def spiral_conv_take(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
+                     bias: jnp.ndarray, activation: str = "elu",
+                     compute_dtype=None) -> jnp.ndarray:
+    """Gather-based spiral conv, layout-switched by (batch, channel):
+    vertex-major take for narrow channels at large batch, einsum (S, C)
+    contraction for wide channels at large batch, reference-shaped flat
+    dot otherwise."""
     act = ACTIVATIONS[activation]
     if compute_dtype is not None:
         # cast BEFORE the gather: the [B, V+1, S*C] gathered buffer is the
@@ -63,27 +104,6 @@ def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
         w = w.astype(compute_dtype)
     b, _, c = x.shape
     v1, s = spiral_idx.shape
-    if _onehot_ok(b, v1):
-        # small-batch coarse levels: gather (and its backward scatter-add)
-        # as a ONE-HOT MXU MATMUL.  XLA's gather/scatter engine costs
-        # ~100 ns/row regardless of row width, batch-independent — at
-        # small batch that row floor dominates the conv while the MXU
-        # idles; a one-hot selection matrix built on the fly (iota-compare,
-        # fused by XLA) turns both directions into matmuls.  Exact: every
-        # output row sums exactly one product of a 1.0.  Measured on the
-        # v5e (benchmarks/coarse_trunk_probe.py, B=4 fwd+bwd): 2.26x /
-        # 1.98x / 1.57x on levels 2/3/4; REJECTED at L0 (0.76x — the
-        # [V1·S, V1] matmul's FLOPs outgrow the row floor), L1 (1.16x,
-        # below the 1.2x bar), and any level at B=128 (0.48x — FLOPs
-        # scale with B, the row floor doesn't).
-        G = jax.nn.one_hot(spiral_idx.reshape(-1), v1, dtype=x.dtype)
-        xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
-        g = jnp.dot(G, xp, preferred_element_type=x.dtype)
-        g = (g.reshape(v1, s, b, c).transpose(2, 0, 1, 3)
-             .reshape(b, v1, s * c))
-        y = jnp.dot(g, w, preferred_element_type=jnp.float32)
-        y = act(y + bias.astype(y.dtype))
-        return y.at[:, -1, :].set(0.0)
     # `b >= 32` must stay False for a SYMBOLIC batch dim (jax.export shape
     # polymorphism: the comparison is inconclusive, and the batch-major
     # path below is shape-polymorphic while this layout flip keys on a
@@ -93,7 +113,6 @@ def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
         # layout; flipping to vertex-major makes each gathered row B·C
         # contiguous elements (measured 1.39x fwd+bwd at the production
         # level-0 3-channel encoder conv, benchmarks/layout_probe.py)
-        v1, s = spiral_idx.shape
         xt = jnp.transpose(x, (1, 0, 2))                     # [V+1, B, C]
         g = jnp.take(xt, spiral_idx.reshape(-1), axis=0)
         g = g.reshape(v1, s, b, c).transpose(0, 2, 1, 3).reshape(v1, b, s * c)
@@ -129,3 +148,16 @@ def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
     y = act(y + bias.astype(y.dtype))
     # zero the dummy (last) row so pads keep gathering zeros downstream
     return y.at[:, -1, :].set(0.0)
+
+
+def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
+                bias: jnp.ndarray, activation: str = "elu",
+                compute_dtype=None) -> jnp.ndarray:
+    """x [B, V+1, C_in], w [S*C_in, C_out], bias [C_out] -> [B, V+1, C_out]."""
+    b = x.shape[0]
+    v1 = spiral_idx.shape[0]
+    if _onehot_ok(b, v1):
+        return spiral_conv_onehot(x, spiral_idx, w, bias, activation,
+                                  compute_dtype)
+    return spiral_conv_take(x, spiral_idx, w, bias, activation,
+                            compute_dtype)

@@ -128,7 +128,7 @@ def load_reference_checkpoint(path: str, model) -> tuple[dict, int]:
 
 # --- optimizer / scheduler state import --------------------------------------
 
-def _moment_dicts(opt_sd: dict, param_names: list):
+def _moment_dicts(opt_sd: dict, params_sd: dict):
     """torch `optim.state_dict()` -> ({name: exp_avg}, {name: exp_avg_sq},
     step_count).
 
@@ -137,13 +137,26 @@ def _moment_dicts(opt_sd: dict, param_names: list):
     `model.parameters()` order — and the reference model registers NO
     buffers (models.py:10-32 keeps spiral tables as plain attributes), so
     that order is exactly the key order of `autoencoder_state_dict`
-    (`param_names`).  Each moment tensor's shape is cross-checked against
-    its parameter's."""
+    (`params_sd`).  Each moment tensor's shape is cross-checked against
+    its parameter's so an order mismatch (custom param_groups, requires_grad
+    filtering) fails loudly instead of resuming with swapped moments."""
     state = opt_sd.get("state") or {}
+    names = list(params_sd)
     exp_avg, exp_avg_sq, steps = {}, {}, []
     for idx, st in state.items():
-        name = param_names[int(idx)]
+        if int(idx) >= len(names):
+            raise ValueError(
+                f"optimizer state index {idx} out of range for "
+                f"{len(names)} model parameters — checkpoint optimizer "
+                "does not cover the model's parameter list")
+        name = names[int(idx)]
         ea, eas = _np(st["exp_avg"]), _np(st["exp_avg_sq"])
+        want = tuple(params_sd[name].shape)
+        if ea.shape != want or eas.shape != want:
+            raise ValueError(
+                f"optimizer moment shape {ea.shape} does not match "
+                f"parameter '{name}' shape {want} — param order mismatch "
+                "between optimizer_state_dict and autoencoder_state_dict")
         exp_avg[name] = ea
         exp_avg_sq[name] = eas
         s = st.get("step", 0)
@@ -231,8 +244,7 @@ def load_reference_training_state(path: str, model, optimizer,
     opt_sd = ckpt.get("optimizer_state_dict") or {}
     opt_state = None
     if opt_sd.get("state"):
-        exp_avg, exp_avg_sq, step_count = _moment_dicts(
-            opt_sd, list(auto_sd.keys()))
+        exp_avg, exp_avg_sq, step_count = _moment_dicts(opt_sd, auto_sd)
         # params torch never stepped (no grad — e.g. heads of parts with
         # zero coarse vertices) have NO optimizer entry; their moments are
         # identically zero, which is also what optax produces for them

@@ -348,3 +348,65 @@ def test_train_cli_config_overrides(monkeypatch, tmp_path):
     cfg = captured["cfg"]
     assert cfg.train.resume == "/stale/orbax/dir"
     assert cfg.train.finetune
+
+
+def test_dfaust_drill_stages(pipeline_dir, capsys):
+    """tools/dfaust_drill.py first-contact drill: the no-data stages
+    (assets -> topology -> import) run in order off a reference-layout
+    .pth.tar, the topology compiled with the --config model knobs (the
+    Trainer's own protocol, train/loop.py:103-107); a checkpoint whose
+    part layout mismatches fails the drill AT the import stage, rc 1."""
+    import json
+
+    torch = pytest.importorskip("torch")
+    from benchmarks.torch_baseline import (build_torch_model,
+                                           reference_state_dict)
+    from semantichuman_tpu.constants import KPS_INDEX_LIST
+    from semantichuman_tpu.data.assets import BodyAssets
+    from semantichuman_tpu.topology import compile_topology
+    from tools.dfaust_drill import main as drill_main
+
+    root = os.path.join(pipeline_dir, "ds")
+    asset_dir = os.path.join(root, "asset")
+    template = os.path.join(root, "template", "template.obj")
+    assets = BodyAssets.load(asset_dir, template)
+    hier = compile_topology(
+        assets.template_verts, assets.template_faces,
+        reference_vertex=min(414, len(assets.template_verts) - 1))
+    coarse = hier.downsample_part_indices(assets.part_dict)
+    torch.manual_seed(5)
+    tm = build_torch_model(hier, coarse, KPS_INDEX_LIST,
+                           enc_filters=[3, 8, 8, 16, 16],
+                           dec_filters=[16, 16, 8, 8, 8])
+    ckpt = os.path.join(pipeline_dir, "drill_ckpt.pth.tar")
+    torch.save({"epoch": 5,
+                "autoencoder_state_dict": reference_state_dict(tm),
+                "optimizer_state_dict": {}, "scheduler_state_dict": {}},
+               ckpt)
+    cfg_path = os.path.join(pipeline_dir, "drill_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG.format(root=root))
+
+    rc = drill_main(["--asset_dir", asset_dir, "--template", template,
+                     "--checkpoint", ckpt, "--config", cfg_path,
+                     "--workdir", os.path.join(pipeline_dir, "drill")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert rec["drill"] == "ok"
+    assert set(rec["stages"]) == {"assets", "topology", "import"}
+
+    # part-layout mismatch -> fails AT the import stage, not before/after
+    sd = reference_state_dict(tm)
+    w = sd["fc_latent_enc_list.0.weight"]
+    sd["fc_latent_enc_list.0.weight"] = torch.cat([w, w], dim=1)
+    bad = os.path.join(pipeline_dir, "drill_bad.pth.tar")
+    torch.save({"epoch": 5, "autoencoder_state_dict": sd,
+                "optimizer_state_dict": {}, "scheduler_state_dict": {}},
+               bad)
+    rc = drill_main(["--asset_dir", asset_dir, "--template", template,
+                     "--checkpoint", bad, "--config", cfg_path,
+                     "--workdir", os.path.join(pipeline_dir, "drill_bad")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert rec["stages"]["import"] == "FAILED"
+    assert rec["stages"]["topology"] != "FAILED"

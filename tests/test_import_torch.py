@@ -263,3 +263,27 @@ def test_import_rejects_wrong_part_layout(pair, small_hierarchy,
     state["fc_latent_enc_list.0.weight"] = torch.cat([w, w], dim=1)
     with pytest.raises(ValueError, match="part layout mismatch"):
         import_part_ae_state(state, jax_model)
+
+
+def test_moment_import_rejects_order_mismatch():
+    """_moment_dicts cross-checks every moment tensor's shape against its
+    parameter's: a checkpoint whose optimizer param order differs from the
+    state-dict key order (custom param_groups, requires_grad filtering)
+    must fail loudly instead of silently resuming with swapped moments."""
+    from semantichuman_tpu.utils.import_torch import _moment_dicts
+
+    params_sd = {"a.weight": np.zeros((3, 2), np.float32),
+                 "b.weight": np.zeros((4, 5), np.float32)}
+    ent = lambda shape: {"exp_avg": np.zeros(shape, np.float32),
+                         "exp_avg_sq": np.zeros(shape, np.float32),
+                         "step": 1}
+    good = {"state": {0: ent((3, 2)), 1: ent((4, 5))}}
+    ea, _, step = _moment_dicts(good, params_sd)
+    assert step == 1 and set(ea) == {"a.weight", "b.weight"}
+
+    swapped = {"state": {0: ent((4, 5)), 1: ent((3, 2))}}
+    with pytest.raises(ValueError, match="order mismatch"):
+        _moment_dicts(swapped, params_sd)
+
+    with pytest.raises(ValueError, match="out of range"):
+        _moment_dicts({"state": {5: ent((3, 2))}}, params_sd)

@@ -272,3 +272,50 @@ def test_scan_chunk_end_boundaries():
                save_recons=True) == 150
     assert end(148, scan_epochs=4, ck_frequency=1000, val_every=1000,
                save_recons=True) == 150
+
+
+def test_run_segments_protocol(tmp_path):
+    """The shared segment runner (train/segments.py): seg_ends cover the
+    whole budget including a trailing partial segment, each segment evals
+    once and appends one JSON curve line, start_epoch is bumped past each
+    segment, and stop_on_nonfinite aborts after a NaN eval."""
+    import json
+
+    from semantichuman_tpu.train.segments import run_segments
+
+    class FakeTrainer:
+        def __init__(self, mms):
+            self.start_epoch = 1
+            self.fits = []
+            self.mms = list(mms)
+
+        def fit(self, seg_end):
+            self.fits.append((self.start_epoch, seg_end))
+
+        def evaluate(self):
+            mm = self.mms.pop(0)
+            return None, None, None, None, mm / 1000.0, mm
+
+    curve = os.path.join(tmp_path, "curve.jsonl")
+    tr = FakeTrainer([5.0, 4.0, 3.0])
+    recs = run_segments(tr, 25, 10, curve)
+    # 25 epochs at eval_every=10 -> segments ending 10, 20, 25 (partial)
+    assert tr.fits == [(1, 10), (11, 20), (21, 25)]
+    assert [r["epoch"] for r in recs] == [10, 20, 25]
+    assert tr.start_epoch == 26
+    lines = [json.loads(l) for l in open(curve)]
+    assert [l["mm"] for l in lines] == [5.0, 4.0, 3.0]
+    assert all("elapsed_sec" in r and "elapsed_sec" not in l
+               for r, l in zip(recs, lines))
+
+    # a resumed trainer (start_epoch mid-budget) only trains the remainder
+    tr2 = FakeTrainer([2.0])
+    tr2.start_epoch = 21
+    recs2 = run_segments(tr2, 25, 10, os.path.join(tmp_path, "c2.jsonl"))
+    assert tr2.fits == [(21, 25)] and [r["epoch"] for r in recs2] == [25]
+
+    # stop_on_nonfinite: NaN mm aborts the remaining segments
+    tr3 = FakeTrainer([5.0, float("nan"), 1.0])
+    recs3 = run_segments(tr3, 30, 10, os.path.join(tmp_path, "c3.jsonl"),
+                         stop_on_nonfinite=True)
+    assert len(recs3) == 2 and tr3.fits == [(1, 10), (11, 20)]

@@ -14,10 +14,8 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -44,6 +42,7 @@ def main(argv=None):
 
     from semantichuman_tpu.config import Config
     from semantichuman_tpu.train.loop import Trainer
+    from semantichuman_tpu.train.segments import run_segments
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
     n_epochs = args.epochs or cfg.train.n_epochs
@@ -57,25 +56,7 @@ def main(argv=None):
     curve_path = os.path.join(args.workdir, "curve.jsonl")
 
     trainer = Trainer(cfg, args.workdir)
-    start = trainer.start_epoch
-    seg_ends = list(range(start - 1 + args.eval_every, n_epochs + 1,
-                          args.eval_every))
-    if not seg_ends or seg_ends[-1] != n_epochs:
-        # trailing partial segment: --epochs not a multiple of --eval_every
-        # must still train (and evaluate) every epoch
-        seg_ends.append(n_epochs)
-    for seg_end in seg_ends:
-        t0 = time.time()
-        trainer.fit(seg_end)
-        sec = (time.time() - t0) / max(seg_end - trainer.start_epoch + 1, 1)
-        trainer.start_epoch = seg_end + 1
-        _, _, _, _, l1, mm = trainer.evaluate()
-        rec = {"epoch": seg_end, "l1": round(float(l1), 6),
-               "mm": round(float(mm), 4), "sec_per_epoch": round(sec, 2)}
-        with open(curve_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print("CURVE", json.dumps(rec), flush=True)
-
+    run_segments(trainer, n_epochs, args.eval_every, curve_path)
     trainer.export_predictions()
     print("done:", curve_path)
 

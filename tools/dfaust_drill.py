@@ -82,10 +82,21 @@ def main(argv=None):
                 f"parts={len(a.part_dict)} girths={len(a.girth_edges)}")
 
     def s_topology():
+        from semantichuman_tpu.config import Config
         from semantichuman_tpu.topology import compile_topology
+        # the checkpoint's layout is defined by the config's topology knobs
+        # (ds_factors/step_sizes/dilation) — compile with THEM, as the
+        # Trainer does (train/loop.py:103-107), or s_import sees a hierarchy
+        # the checkpoint was never trained on
+        cfg = (Config.from_yaml(args.config) if os.path.exists(args.config)
+               else Config())
+        state["cfg"] = cfg
         a = state["assets"]
         h = compile_topology(
             a.template_verts, a.template_faces,
+            ds_factors=cfg.model.ds_factors,
+            step_sizes=cfg.model.step_sizes,
+            dilation=cfg.model.dilation,
             reference_vertex=min(414, len(a.template_verts) - 1),
             cache_path=os.path.join(args.workdir, "topology.npz"))
         state["hier"] = h
@@ -96,13 +107,11 @@ def main(argv=None):
         import jax.numpy as jnp
         import numpy as np
 
-        from semantichuman_tpu.config import Config
         from semantichuman_tpu.constants import KPS_KEEP
         from semantichuman_tpu.models import build_model
         from semantichuman_tpu.utils.import_torch import (
             load_reference_checkpoint)
-        cfg = (Config.from_yaml(args.config) if os.path.exists(args.config)
-               else Config())
+        cfg = state["cfg"]
         a = state["assets"]
         model = build_model(cfg, state["hier"], a.part_dict)
         params, epoch = load_reference_checkpoint(args.checkpoint, model)
@@ -113,7 +122,6 @@ def main(argv=None):
                         x[:, :-1])[:, KPS_KEEP]
         rec = jax.jit(model)(params, jnp.asarray(x), jnp.asarray(kps))[0]
         assert np.all(np.isfinite(np.asarray(rec)))
-        state["cfg"] = cfg
         return f"epoch={epoch} forward finite"
 
     ok = (stage("assets", s_assets) and stage("topology", s_topology)

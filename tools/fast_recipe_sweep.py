@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import math
 import os
 import sys
 import time
@@ -35,10 +36,9 @@ def run_variant(tag: str, workdir: str, lr: float, batch: int, epochs: int,
                 lr_decay: float, dtype: str, eval_every: int,
                 warmup: int = 0, batch_interp: int | None = None,
                 schedule: str = "exp") -> dict:
-    import numpy as np
-
     from semantichuman_tpu.config import Config
     from semantichuman_tpu.train.loop import Trainer
+    from semantichuman_tpu.train.segments import run_segments
 
     cfg = Config()
     cfg = dataclasses.replace(
@@ -57,28 +57,13 @@ def run_variant(tag: str, workdir: str, lr: float, batch: int, epochs: int,
 
     trainer = Trainer(cfg, wd)
     t_start = time.time()
-    best_mm, epoch_at_target, sec_to_target = float("inf"), None, None
-    seg_ends = list(range(eval_every, epochs + 1, eval_every))
-    if not seg_ends or seg_ends[-1] != epochs:
-        seg_ends.append(epochs)
-    for seg_end in seg_ends:
-        t0 = time.time()
-        trainer.fit(seg_end)
-        sec = (time.time() - t0) / max(seg_end - trainer.start_epoch + 1, 1)
-        trainer.start_epoch = seg_end + 1
-        _, _, _, _, l1, mm = trainer.evaluate()
-        best_mm = min(best_mm, float(mm))
-        if epoch_at_target is None and mm <= TARGET_MM:
-            epoch_at_target = seg_end
-            sec_to_target = time.time() - t_start
-        rec = {"epoch": seg_end, "l1": round(float(l1), 6),
-               "mm": round(float(mm), 4), "sec_per_epoch": round(sec, 2)}
-        with open(curve_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print(f"[{tag}] CURVE {json.dumps(rec)}", flush=True)
-        if not np.isfinite(mm):
-            print(f"[{tag}] diverged (NaN) — aborting variant", flush=True)
-            break
+    records = run_segments(trainer, epochs, eval_every, curve_path, tag=tag,
+                           stop_on_nonfinite=True)
+    best_mm = min((r["mm"] for r in records if math.isfinite(r["mm"])),
+                  default=float("inf"))
+    hit = next((r for r in records if r["mm"] <= TARGET_MM), None)
+    epoch_at_target = hit["epoch"] if hit else None
+    sec_to_target = hit["elapsed_sec"] if hit else None
     return {"tag": tag, "lr": lr, "batch": batch, "dtype": dtype,
             "warmup": warmup,
             "epochs": epochs, "lr_decay": lr_decay,
