@@ -20,15 +20,19 @@ over the same ~2.3% of rows — the row floor shrinks 40x).  Dummy pads
 (33% of L0 entries!) hit no band column and contribute an exact zero —
 in the take form every pad still costs a full gather row.
 
-Band tables ride as DEVICE ARGUMENTS (built once per topology host-side,
-bf16): on-the-fly iota-compare construction would materialize the same
-bytes per step, and arguments avoid the axon HTTP-413 constant limit.
+The production form (ops/spiral_conv.py:spiral_conv_banded) builds the
+selection tensor ON THE FLY (iota-compare) from the small spiral table —
+a resident [nblk, R*S, W] bf16 table (~160 MB at L0) cannot ship as a jit
+closure on the remote platform (HTTP 413) and measured no faster for the
+full one-hot.  This probe measures BOTH: the production on-the-fly form
+and a resident-G-as-argument local variant (isolates the build cost).
 
 Measures fwd+bwd of the fine-level convs (production filter plan, both
 the narrow encoder entry 3->16 and the wide decoder-side 16->16) at
-B=12 (the paper recipe's concatenated 3-branch trunk batch) and B=128
-(headline), bf16 compute, against the production `spiral_conv_take`
-dispatcher.  Accept bar: the established 1.2x.
+B=12 (the paper recipe's concatenated 3-branch trunk batch), B=128, and
+B=384 (the headline step's concatenated trunk batch), bf16 compute,
+against the production `spiral_conv_take` dispatcher.  Accept bar: the
+established 1.2x.
 
   python benchmarks/banded_gather_probe.py
   SH_TPU_PROBE_B=128 SH_TPU_PROBE_LEVELS=0 python benchmarks/banded_gather_probe.py
@@ -50,45 +54,31 @@ ITERS = int(os.environ.get("SH_TPU_PROBE_ITERS", "100"))
 
 
 def build_band_tables(sp: np.ndarray, R: int, W: int):
-    """[V1, S] spiral table -> banded selection tables.
-
-    Returns dict with:
-      G        [nblk, R*S, W] bf16 — per-block one-hot over the window
-      starts   [nblk] int — window start row in the PADDED (by W) input
-      fix_pos  [nfix_pad] int — flat v*S+s rows needing out-of-band fixup
-      fix_src  [nfix_pad] int — source vertex row for each fixup
-    Fixups are padded to a multiple of 8 with (pos=0, src=dummy): the
-    dummy row is zero by construction, so the padded adds are exact no-ops.
-    """
+    """Production BandSpec (ops/banding.py) + the resident bf16 G tensor
+    the local comparison variant feeds as a device argument."""
     import ml_dtypes
 
+    from semantichuman_tpu.ops.banding import build_band_spec
+
+    spec = build_band_spec(sp, R, W)
     v1, s = sp.shape
-    dummy = v1 - 1
-    nblk = (v1 + R - 1) // R
-    starts = np.array([n * R + R // 2 - W // 2 + W for n in range(nblk)],
-                      np.int32)  # +W: input padded by W rows on each side
-    rows = np.arange(v1)
-    rel = sp + W - starts[rows // R][:, None]            # [v1, S]
+    starts = np.asarray(spec.starts, np.int64)
+    rel = sp + W - starts[np.arange(v1) // R][:, None]   # [v1, S]
     hit = (rel >= 0) & (rel < W)
+    nblk = spec.nblk
     G = np.zeros((nblk, R * s, W), dtype=ml_dtypes.bfloat16)
     vv, ss = np.nonzero(hit)
     G[vv // R, (vv % R) * s + ss, rel[vv, ss]] = 1.0
-    miss_v, miss_s = np.nonzero(~hit & (sp != dummy))
-    fix_pos = miss_v * s + miss_s
-    fix_src = sp[miss_v, miss_s]
-    pad = (-len(fix_pos)) % 8
-    fix_pos = np.concatenate([fix_pos, np.zeros(pad, np.int64)])
-    fix_src = np.concatenate([fix_src, np.full(pad, dummy, np.int64)])
-    return {"G": G, "starts": starts,
-            "fix_pos": fix_pos.astype(np.int32),
-            "fix_src": fix_src.astype(np.int32),
-            "R": R, "W": W, "v1": v1, "s": s,
-            "oob_frac": len(miss_v) / sp.size}
+    return {"spec": spec, "G": G, "starts": spec.starts,
+            "fix_pos": spec.fix_pos, "fix_src": spec.fix_src,
+            "R": R, "W": W, "v1": v1, "s": s, "oob_frac": spec.oob_frac}
 
 
 def banded_conv(x, G, fix_pos, fix_src, w, bias, starts, R, W,
                 activation="elu", compute_dtype=None):
-    """Spiral conv with the gather as a block-banded one-hot matmul."""
+    """Resident-G comparison variant: the banded selection tensor rides as
+    a device ARGUMENT instead of being built on the fly inside the trace
+    (the production form, ops/spiral_conv.py:spiral_conv_banded)."""
     import jax
     import jax.numpy as jnp
 
@@ -154,13 +144,14 @@ def main():
 
     from semantichuman_tpu.utils.compilation_cache import enable_cache
     enable_cache()
-    from semantichuman_tpu.ops.spiral_conv import spiral_conv_take
+    from semantichuman_tpu.ops.spiral_conv import (spiral_conv_banded,
+                                                   spiral_conv_take)
     from semantichuman_tpu.topology.compiler import MeshHierarchy
 
     hier = MeshHierarchy.load(os.path.join(REPO, "assets",
                                            "topology_synth_full_2222.npz"))
     env_b = os.environ.get("SH_TPU_PROBE_B")
-    batches = [int(env_b)] if env_b else [12, 128]
+    batches = [int(env_b)] if env_b else [12, 128, 384]
     env_l = os.environ.get("SH_TPU_PROBE_LEVELS")
     levels = ([int(x) for x in env_l.split(",")] if env_l else [0, 1])
     # production filter plan shapes per level: (c_in, c_out) — encoder
@@ -198,19 +189,27 @@ def main():
                                          compute_dtype=jnp.bfloat16)
                 for (R, W) in bands:
                     dt = dev_tabs[(R, W)]
+                    spec = tabs[(R, W)]["spec"]
+                    # production on-the-fly form
+                    t_fly = _timed_grad(
+                        lambda xx, spx, wx, bx, _sp=spec: spiral_conv_banded(
+                            xx, spx, _sp, wx, bx, "elu",
+                            compute_dtype=jnp.bfloat16),
+                        (x, sp, w, bias))
+                    y_fly = spiral_conv_banded(
+                        x, sp, spec, w, bias, "elu",
+                        compute_dtype=jnp.bfloat16)
+                    # resident-G comparison variant
                     t_band = _timed_grad(
                         lambda xx, Gx, fp, fs, wx, bx, _R=R, _W=W,
                                _st=tabs[(R, W)]["starts"]: banded_conv(
                             xx, Gx, fp, fs, wx, bx, _st, _R, _W,
                             "elu", compute_dtype=jnp.bfloat16),
                         (x, dt["G"], dt["fix_pos"], dt["fix_src"], w, bias))
-                    y_band = banded_conv(
-                        x, dt["G"], dt["fix_pos"], dt["fix_src"], w, bias,
-                        tabs[(R, W)]["starts"], R, W, "elu",
-                        compute_dtype=jnp.bfloat16)
-                    err = float(jnp.max(jnp.abs(y_ref - y_band)))
-                    rec[f"band{R}x{W}_ms"] = round(t_band * 1e3, 3)
-                    rec[f"band{R}x{W}_speedup"] = round(t_take / t_band, 2)
+                    err = float(jnp.max(jnp.abs(y_ref - y_fly)))
+                    rec[f"band{R}x{W}_fly_ms"] = round(t_fly * 1e3, 3)
+                    rec[f"band{R}x{W}_fly_speedup"] = round(t_take / t_fly, 2)
+                    rec[f"band{R}x{W}_res_ms"] = round(t_band * 1e3, 3)
                     rec[f"band{R}x{W}_err"] = err
                     rec[f"band{R}x{W}_oob_pct"] = round(
                         100 * tabs[(R, W)]["oob_frac"], 2)

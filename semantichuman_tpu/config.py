@@ -44,6 +44,10 @@ class ModelConfig:
     # spiral-conv kernel exists as a measured-and-rejected record and only
     # engages under SH_TPU_FORCE_PALLAS=1 (ops.pallas.spiral_conv_pallas)
     use_pallas: bool = True
+    # block-banded one-hot spiral gather at the fine levels (ops/banding.py):
+    # exploits spiral locality to turn the gather row floor into MXU
+    # matmuls; pending on-chip measurement, off by default
+    banded_conv: bool = False
 
 
 @dataclass

@@ -78,6 +78,13 @@ def init_conv_stack(rng: np.random.Generator, plan, spiral_sizes):
     return params
 
 
+def _band_kw(tables, level: int) -> dict:
+    """Pass `band=` only for levels that carry one, so custom conv_fns
+    (tests, the gated Pallas variant) keep their plain signature."""
+    band = getattr(tables, "band_for", lambda _l: None)(level)
+    return {"band": band} if band is not None else {}
+
+
 def encoder_trunk(params_conv, plan, tables, x, compute_dtype=None,
                   conv_fn=spiral_conv):
     """Apply encoder convs + pooling; returns coarse features [B, V_L+1, C]."""
@@ -87,7 +94,8 @@ def encoder_trunk(params_conv, plan, tables, x, compute_dtype=None,
         while j < len(plan) and plan[j][0] == i:
             p = params_conv[j]
             x = conv_fn(x, tables.spirals[i], p["w"], p["b"], plan[j][3],
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype,
+                        **_band_kw(tables, i))
             j += 1
         x = pool(x, tables.pool_idx[i])
     return x
@@ -104,6 +112,7 @@ def decoder_trunk(params_conv, plan, tables, x, compute_dtype=None,
         while j < len(plan) and plan[j][0] == lvl:
             p = params_conv[j]
             x = conv_fn(x, tables.spirals[lvl], p["w"], p["b"], plan[j][3],
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype,
+                        **_band_kw(tables, lvl))
             j += 1
     return x

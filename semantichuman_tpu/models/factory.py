@@ -17,8 +17,8 @@ from .tables import device_tables
 
 def build_model(cfg: Config, hier: MeshHierarchy, part_dict: dict | None = None):
     """Returns a model object with .init/.encode/.decode/__call__."""
-    tables = device_tables(hier)
     m = cfg.model
+    tables = device_tables(hier, banded=m.banded_conv)
     dtype = jnp.bfloat16 if m.trunk_dtype == "bfloat16" else None
     conv_fn = _select_conv(m)
     if m.model_type == "multiz+partkps":

@@ -18,13 +18,32 @@ class DeviceTables:
     unpool_w: tuple       # per transition [V_l+1, 3] f32
     sizes: tuple          # V_l
     spiral_sizes: tuple   # S_l
+    # per level: ops/banding.py BandSpec, or None -> gather/one-hot dispatch
+    bands: tuple = ()
 
     @property
     def n_levels(self) -> int:
         return len(self.sizes)
 
+    def band_for(self, level: int):
+        return self.bands[level] if level < len(self.bands) else None
 
-def device_tables(hier: MeshHierarchy) -> DeviceTables:
+
+# banding only pays where the full one-hot was rejected: the fine levels
+# (V1 > ONE_HOT_MAX_V1, matching ops/spiral_conv._onehot_ok's upper bound)
+BAND_MIN_V1 = 2049
+
+
+def device_tables(hier: MeshHierarchy, banded: bool = False) -> DeviceTables:
+    bands = ()
+    if banded:
+        import numpy as np
+
+        from ..ops.banding import pick_band_spec
+        bands = tuple(
+            pick_band_spec(np.asarray(s)) if s.shape[0] >= BAND_MIN_V1
+            else None
+            for s in hier.spirals)
     return DeviceTables(
         spirals=tuple(jnp.asarray(s, jnp.int32) for s in hier.spirals),
         pool_idx=tuple(jnp.asarray(p, jnp.int32) for p in hier.pool_idx),
@@ -32,4 +51,5 @@ def device_tables(hier: MeshHierarchy) -> DeviceTables:
         unpool_w=tuple(jnp.asarray(w, jnp.float32) for w in hier.unpool_w),
         sizes=tuple(hier.sizes),
         spiral_sizes=tuple(hier.spiral_sizes),
+        bands=bands,
     )

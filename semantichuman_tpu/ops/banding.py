@@ -1,0 +1,96 @@
+"""Block-banded spiral-gather tables.
+
+The r3 one-hot adoption (ops/spiral_conv.py:spiral_conv_onehot) converts
+the spiral gather's batch-independent ~100 ns/row floor into MXU matmuls,
+but its [V1*S, V1] selection matrix makes FLOPs grow with V1^2*S — it was
+measured and REJECTED at the two fine levels (L0 0.76x, L1 1.16x) and at
+large batch (benchmarks/coarse_trunk_probe.py).
+
+Spiral tables are however LOCAL: on the production topology 97%+ of
+non-dummy indices lie within a narrow band of their center vertex
+(block R=256 / window W=768 leaves ~2.4% of entries out-of-band at both
+fine levels).  A BLOCK-BANDED one-hot cuts the matmul's K dimension from
+V1 to W (a V1/W ~ 5-9x FLOP cut), keeps the backward a transposed matmul
+instead of a scatter-add over V1*S rows, and handles the out-of-band tail
+with an exact sparse fixup (gather + at[].add; VJP = scatter over ~2.4%
+of the rows).  Dummy pads (33% of L0 entries) hit no band column and
+contribute an exact zero — in the take form each pad costs a gather row.
+
+This module builds the small host-side spec (window starts + fixup lists;
+~10 KB).  The selection tensor itself is built ON THE FLY inside the trace
+(iota-compare, ops/spiral_conv.py:spiral_conv_banded): resident one-hot
+tables measured no faster than on-the-fly construction and a [nblk, R*S, W]
+bf16 constant (~160 MB at L0) cannot ship as a jit closure on the remote
+platform (HTTP 413 — docs/BENCHMARKS.md, axon timing/transport notes).
+
+Reference anchor: the gather this reformulates is models.py:40-42
+(torch.index_select over the spiral table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# (block rows, window cols) presets, tried in order; a level adopts the
+# first preset whose out-of-band fraction is acceptable.  W must be a
+# multiple of 128 (MXU lane width); R*S should comfortably exceed 8 rows.
+BAND_PRESETS = ((256, 768), (512, 1024))
+MAX_OOB_FRAC = 0.05
+
+
+@dataclass(frozen=True)
+class BandSpec:
+    """Static banding spec for one level's spiral table.
+
+    starts:  per-block window start row in the W-padded input (python ints,
+             static so window extraction lowers to static slices)
+    fix_pos: [nfix] int32 — flat v*S+s positions whose index is out-of-band
+    fix_src: [nfix] int32 — source vertex row for each fixup position
+    Fixup arrays are padded to a multiple of 8 with (pos=0, src=dummy):
+    the dummy row is zero by construction, so padded adds are exact no-ops.
+    """
+    starts: tuple
+    fix_pos: np.ndarray
+    fix_src: np.ndarray
+    R: int
+    W: int
+    oob_frac: float
+
+    @property
+    def nblk(self) -> int:
+        return len(self.starts)
+
+
+def build_band_spec(spiral_idx: np.ndarray, R: int, W: int) -> BandSpec:
+    """[V1, S] dummy-resolved spiral table -> BandSpec for (R, W)."""
+    sp = np.asarray(spiral_idx)
+    v1, s = sp.shape
+    dummy = v1 - 1
+    nblk = (v1 + R - 1) // R
+    # +W: the input is padded by W zero rows on each side, so every window
+    # start is non-negative and every window end is in range
+    starts = tuple(int(n * R + R // 2 - W // 2 + W) for n in range(nblk))
+    rel = sp + W - np.asarray(starts, np.int64)[np.arange(v1) // R][:, None]
+    hit = (rel >= 0) & (rel < W)
+    miss_v, miss_s = np.nonzero(~hit & (sp != dummy))
+    fix_pos = (miss_v * s + miss_s).astype(np.int32)
+    fix_src = sp[miss_v, miss_s].astype(np.int32)
+    pad = (-len(fix_pos)) % 8
+    fix_pos = np.concatenate([fix_pos, np.zeros(pad, np.int32)])
+    fix_src = np.concatenate([fix_src, np.full(pad, dummy, np.int32)])
+    return BandSpec(starts=starts, fix_pos=fix_pos, fix_src=fix_src,
+                    R=R, W=W, oob_frac=len(miss_v) / sp.size)
+
+
+def pick_band_spec(spiral_idx: np.ndarray,
+                   presets=BAND_PRESETS,
+                   max_oob: float = MAX_OOB_FRAC) -> BandSpec | None:
+    """First preset whose out-of-band fraction is acceptable, else None
+    (a topology with no spiral locality keeps the gather path)."""
+    for R, W in presets:
+        spec = build_band_spec(spiral_idx, R, W)
+        if spec.oob_frac <= max_oob:
+            return spec
+    return None

@@ -47,6 +47,14 @@ def _onehot_ok(b, v1: int) -> bool:
             and jax.default_backend() != "cpu")
 
 
+def _banded_ok() -> bool:
+    """Trace-time dispatch for the block-banded fine-level path: which
+    levels carry a band is decided where tables are built (models/tables);
+    here only the CPU backend is excluded — dense selection matmuls lose
+    to the gather there, and the take path is exactly equal anyway."""
+    return jax.default_backend() != "cpu"
+
+
 def spiral_gather(x: jnp.ndarray, spiral_idx: jnp.ndarray) -> jnp.ndarray:
     """x [B, V+1, C], spiral_idx [V+1, S] -> [B, V+1, S*C]."""
     b, _, c = x.shape
@@ -79,6 +87,57 @@ def spiral_conv_onehot(x: jnp.ndarray, spiral_idx: jnp.ndarray,
     G = jax.nn.one_hot(spiral_idx.reshape(-1), v1, dtype=x.dtype)
     xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
     g = jnp.dot(G, xp, preferred_element_type=x.dtype)
+    g = (g.reshape(v1, s, b, c).transpose(2, 0, 1, 3)
+         .reshape(b, v1, s * c))
+    y = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    y = act(y + bias.astype(y.dtype))
+    return y.at[:, -1, :].set(0.0)
+
+
+def spiral_conv_banded(x: jnp.ndarray, spiral_idx: jnp.ndarray, band,
+                       w: jnp.ndarray, bias: jnp.ndarray,
+                       activation: str = "elu",
+                       compute_dtype=None) -> jnp.ndarray:
+    """Fine-level form: the gather as a BLOCK-BANDED one-hot matmul.
+
+    Exploits spiral locality (ops/banding.py): each block of R vertices
+    reads almost all its spiral sources from a W-row window, so the
+    selection matrix shrinks from [V1*S, V1] (the rejected full one-hot)
+    to nblk x [R*S, W] — a V1/W FLOP cut — while the backward stays a
+    transposed matmul instead of a scatter-add over V1*S rows.  The
+    ~2% out-of-band tail is fixed up exactly by a sparse gather+add
+    whose VJP is a scatter over only those rows.  Dummy pads hit no band
+    column and contribute an exact zero (the dummy row is zero by
+    construction), so the forward is bit-identical to the take path;
+    x-cotangents differ from the scatter-add path only by f32 summation
+    order (and at the structurally-zero dummy row, whose cotangent the
+    producing op's dummy re-zeroing discards).
+
+    The selection tensor is built on the fly (iota-compare) from the
+    spiral table — see ops/banding.py for why it must not be resident."""
+    act = ACTIVATIONS[activation]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    b, _, c = x.shape
+    v1, s = spiral_idx.shape
+    R, W, nblk = band.R, band.W, band.nblk
+    # pad rows to nblk*R with a sentinel that can never hit a band column
+    sp_pad = jnp.pad(spiral_idx, ((0, nblk * R - v1), (0, 0)),
+                     constant_values=-(W + 1))
+    rel = (sp_pad.reshape(nblk, R, s) + W
+           - jnp.asarray(band.starts, jnp.int32)[:, None, None])
+    G = (rel[..., None] == jnp.arange(W, dtype=jnp.int32)
+         ).astype(x.dtype).reshape(nblk, R * s, W)
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
+    xpad = jnp.pad(xp, ((W, W), (0, 0)))
+    win = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, st, W)
+                     for st in band.starts])             # [nblk, W, B*C]
+    g = jnp.einsum("nrw,nwc->nrc", G, win,
+                   preferred_element_type=x.dtype)       # [nblk, R*S, B*C]
+    g = g.reshape(nblk * R * s, b * c)[:v1 * s]
+    g = g.at[jnp.asarray(band.fix_pos)].add(
+        jnp.take(xp, jnp.asarray(band.fix_src), axis=0))
     g = (g.reshape(v1, s, b, c).transpose(2, 0, 1, 3)
          .reshape(b, v1, s * c))
     y = jnp.dot(g, w, preferred_element_type=jnp.float32)
@@ -152,10 +211,19 @@ def spiral_conv_take(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
 
 def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
                 bias: jnp.ndarray, activation: str = "elu",
-                compute_dtype=None) -> jnp.ndarray:
-    """x [B, V+1, C_in], w [S*C_in, C_out], bias [C_out] -> [B, V+1, C_out]."""
+                compute_dtype=None, band=None) -> jnp.ndarray:
+    """x [B, V+1, C_in], w [S*C_in, C_out], bias [C_out] -> [B, V+1, C_out].
+
+    `band` (ops/banding.py BandSpec or None) selects the block-banded
+    matmul form for fine levels; whether a level carries a band is decided
+    where the tables are built (models/tables.py), so this dispatch only
+    excludes the CPU backend (where dense selection matmuls lose to the
+    gather and the take path is exactly equal anyway)."""
     b = x.shape[0]
     v1 = spiral_idx.shape[0]
+    if band is not None and _banded_ok():
+        return spiral_conv_banded(x, spiral_idx, band, w, bias, activation,
+                                  compute_dtype)
     if _onehot_ok(b, v1):
         return spiral_conv_onehot(x, spiral_idx, w, bias, activation,
                                   compute_dtype)
