@@ -218,5 +218,83 @@ def main():
     return out
 
 
+def main_sampling():
+    """Banded pool/unpool vs take at large batch (the one-hot forms own
+    small batch; the take path owns B>=32 today)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantichuman_tpu.utils.compilation_cache import enable_cache
+    enable_cache()
+    from semantichuman_tpu.ops import sampling as S
+    from semantichuman_tpu.ops.banding import (POOL_BAND_PRESETS,
+                                               UNPOOL_BAND_PRESETS,
+                                               build_band_spec)
+    from semantichuman_tpu.topology.compiler import MeshHierarchy
+
+    hier = MeshHierarchy.load(os.path.join(REPO, "assets",
+                                           "topology_synth_full_2222.npz"))
+    env_b = os.environ.get("SH_TPU_PROBE_B")
+    batches = [int(env_b)] if env_b else [128, 384]
+    rng = np.random.default_rng(0)
+    out = []
+    for lvl in (0, 1):
+        idx = np.asarray(hier.unpool_idx[lvl])
+        wgt = np.asarray(hier.unpool_w[lvl])
+        vf1 = idx.shape[0]
+        vc1 = hier.sizes[lvl + 1] + 1
+        uspec = build_band_spec(idx, *UNPOOL_BAND_PRESETS[0],
+                                dummy=vc1 - 1)
+        pidx = np.asarray(hier.pool_idx[lvl])
+        pspec = build_band_spec(pidx[:, None], *POOL_BAND_PRESETS[0],
+                                dummy=vf1 - 1)
+        for c in (16, 32):
+            for b in batches:
+                x = jnp.asarray(rng.standard_normal((b, vc1, c)),
+                                jnp.float32)
+                t_take = _timed_grad(
+                    lambda xx, ix, wx: S.unpool_take(xx, ix, wx),
+                    (x, jnp.asarray(idx), jnp.asarray(wgt)))
+                t_band = _timed_grad(
+                    lambda xx, ix, wx, _sp=uspec: S.unpool_banded(
+                        xx, ix, wx, _sp),
+                    (x, jnp.asarray(idx), jnp.asarray(wgt)))
+                err = float(jnp.max(jnp.abs(
+                    S.unpool_take(x, jnp.asarray(idx), jnp.asarray(wgt))
+                    - S.unpool_banded(x, jnp.asarray(idx),
+                                      jnp.asarray(wgt), uspec))))
+                rec = {"op": "unpool", "level": lvl, "c": c, "batch": b,
+                       "take_ms": round(t_take * 1e3, 3),
+                       "band_ms": round(t_band * 1e3, 3),
+                       "band_speedup": round(t_take / t_band, 2),
+                       "err": err,
+                       "oob_pct": round(100 * uspec.oob_frac, 2)}
+                print(json.dumps(rec), flush=True)
+                out.append(rec)
+
+                xf = jnp.asarray(rng.standard_normal((b, vf1, c)),
+                                 jnp.float32)
+                t_take = _timed_grad(
+                    lambda xx, ix: S.pool_take(xx, ix),
+                    (xf, jnp.asarray(pidx)))
+                t_band = _timed_grad(
+                    lambda xx, ix, _sp=pspec: S.pool_banded(xx, ix, _sp),
+                    (xf, jnp.asarray(pidx)))
+                err = float(jnp.max(jnp.abs(
+                    S.pool_take(xf, jnp.asarray(pidx))
+                    - S.pool_banded(xf, jnp.asarray(pidx), pspec))))
+                rec = {"op": "pool", "level": lvl, "c": c, "batch": b,
+                       "take_ms": round(t_take * 1e3, 3),
+                       "band_ms": round(t_band * 1e3, 3),
+                       "band_speedup": round(t_take / t_band, 2),
+                       "err": err,
+                       "oob_pct": round(100 * pspec.oob_frac, 2)}
+                print(json.dumps(rec), flush=True)
+                out.append(rec)
+    return out
+
+
 if __name__ == "__main__":
     main()
+    if os.environ.get("SH_TPU_PROBE_SAMPLING", "1") == "1":
+        main_sampling()

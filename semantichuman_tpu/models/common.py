@@ -97,7 +97,8 @@ def encoder_trunk(params_conv, plan, tables, x, compute_dtype=None,
                         compute_dtype=compute_dtype,
                         **_band_kw(tables, i))
             j += 1
-        x = pool(x, tables.pool_idx[i])
+        x = pool(x, tables.pool_idx[i],
+                 band=getattr(tables, "pool_band_for", lambda _l: None)(i))
     return x
 
 
@@ -108,7 +109,9 @@ def decoder_trunk(params_conv, plan, tables, x, compute_dtype=None,
     n_levels = len(tables.spirals)
     for i in range(n_levels - 1):
         lvl = n_levels - 2 - i
-        x = unpool(x, tables.unpool_idx[lvl], tables.unpool_w[lvl])
+        x = unpool(x, tables.unpool_idx[lvl], tables.unpool_w[lvl],
+                   band=getattr(tables, "unpool_band_for",
+                                lambda _l: None)(lvl))
         while j < len(plan) and plan[j][0] == lvl:
             p = params_conv[j]
             x = conv_fn(x, tables.spirals[lvl], p["w"], p["b"], plan[j][3],

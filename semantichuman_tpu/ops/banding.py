@@ -36,20 +36,29 @@ import numpy as np
 # (block rows, window cols) presets, tried in order; a level adopts the
 # first preset whose out-of-band fraction is acceptable.  W must be a
 # multiple of 128 (MXU lane width); R*S should comfortably exceed 8 rows.
+# The window must cover the block's SOURCE span: spiral rows read their
+# own level (span ~R), unpool rows read the next-coarser level (span
+# ~R/2), pool rows read the next-finer level (span ~2R) — hence the
+# per-table shapes (measured on the production topology: spiral 2.3-2.5%
+# out-of-band, unpool ~1%, pool 0%).
 BAND_PRESETS = ((256, 768), (512, 1024))
+UNPOOL_BAND_PRESETS = ((256, 512), (512, 768))
+POOL_BAND_PRESETS = ((128, 384), (256, 768))
 MAX_OOB_FRAC = 0.05
 
 
 @dataclass(frozen=True)
 class BandSpec:
-    """Static banding spec for one level's spiral table.
+    """Static banding spec for one level's index table ([N, S] rows of
+    source indices — the spiral table, unpool_idx, or pool_idx[:, None]).
 
     starts:  per-block window start row in the W-padded input (python ints,
              static so window extraction lowers to static slices)
     fix_pos: [nfix] int32 — flat v*S+s positions whose index is out-of-band
-    fix_src: [nfix] int32 — source vertex row for each fixup position
+    fix_src: [nfix] int32 — source row for each fixup position
     Fixup arrays are padded to a multiple of 8 with (pos=0, src=dummy):
-    the dummy row is zero by construction, so padded adds are exact no-ops.
+    the dummy source row is zero by construction (and weighted fixups pad
+    with weight 0), so the padded adds are exact no-ops.
     """
     starts: tuple
     fix_pos: np.ndarray
@@ -63,15 +72,32 @@ class BandSpec:
         return len(self.starts)
 
 
-def build_band_spec(spiral_idx: np.ndarray, R: int, W: int) -> BandSpec:
-    """[V1, S] dummy-resolved spiral table -> BandSpec for (R, W)."""
-    sp = np.asarray(spiral_idx)
+def build_band_spec(index_table: np.ndarray, R: int, W: int,
+                    dummy: int | None = None) -> BandSpec:
+    """[N, S] dummy-resolved index table -> BandSpec for (R, W).
+
+    `dummy` is the index of the (zero) dummy SOURCE row — the table's own
+    row count minus one for the spiral table, the coarse/fine dummy for
+    unpool/pool tables.  Dummy references hit no band column and need no
+    fixup: gathering a zero row contributes an exact zero either way."""
+    sp = np.asarray(index_table)
     v1, s = sp.shape
-    dummy = v1 - 1
+    if dummy is None:
+        dummy = v1 - 1
     nblk = (v1 + R - 1) // R
+    # per-block DATA-DRIVEN window placement (median of the block's
+    # non-dummy source indices): row space and source space need not be
+    # the same scale (unpool reads a level half its own size), and medians
+    # also absorb topology-specific index drift.
     # +W: the input is padded by W zero rows on each side, so every window
     # start is non-negative and every window end is in range
-    starts = tuple(int(n * R + R // 2 - W // 2 + W) for n in range(nblk))
+    starts = []
+    for n in range(nblk):
+        blk = sp[n * R:(n + 1) * R]
+        real = blk[blk != dummy]
+        center = int(np.median(real)) if real.size else n * R + R // 2
+        starts.append(center - W // 2 + W)
+    starts = tuple(starts)
     rel = sp + W - np.asarray(starts, np.int64)[np.arange(v1) // R][:, None]
     hit = (rel >= 0) & (rel < W)
     miss_v, miss_s = np.nonzero(~hit & (sp != dummy))
@@ -84,13 +110,14 @@ def build_band_spec(spiral_idx: np.ndarray, R: int, W: int) -> BandSpec:
                     R=R, W=W, oob_frac=len(miss_v) / sp.size)
 
 
-def pick_band_spec(spiral_idx: np.ndarray,
+def pick_band_spec(index_table: np.ndarray,
                    presets=BAND_PRESETS,
-                   max_oob: float = MAX_OOB_FRAC) -> BandSpec | None:
+                   max_oob: float = MAX_OOB_FRAC,
+                   dummy: int | None = None) -> BandSpec | None:
     """First preset whose out-of-band fraction is acceptable, else None
-    (a topology with no spiral locality keeps the gather path)."""
+    (a topology with no index locality keeps the gather path)."""
     for R, W in presets:
-        spec = build_band_spec(spiral_idx, R, W)
+        spec = build_band_spec(index_table, R, W, dummy=dummy)
         if spec.oob_frac <= max_oob:
             return spec
     return None

@@ -61,6 +61,14 @@ def _onehot_ok(b, vf1: int) -> bool:
             and vf1 >= _ONEHOT_MIN_ROWS and jax.default_backend() != "cpu")
 
 
+def _banded_ok() -> bool:
+    """Trace-time dispatch for the block-banded sampling paths: which
+    levels carry a band is decided where tables are built (models/tables);
+    the measured small-batch one-hot adoption takes precedence, so banding
+    engages where one-hot was rejected — large batch — on non-CPU backends."""
+    return jax.default_backend() != "cpu"
+
+
 def pool_dense(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
     """pool as P @ x with P = one_hot(pool_idx) built on the fly inside
     the trace.  Forward trades a [V_c+1]-row gather for a matmul; the VJP
@@ -78,12 +86,52 @@ def pool_take(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(x, pool_idx, axis=1)
 
 
-def pool(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
+def _banded_apply(xp: jnp.ndarray, u_blocks: jnp.ndarray, band,
+                  n_rows: int) -> jnp.ndarray:
+    """Apply a block-banded operator: xp [V_src, B*C] (unpadded), u_blocks
+    [nblk, R*S', W] -> [n_rows, B*C] (rows beyond the blocks' coverage
+    sliced off).  Shared by the banded pool/unpool forms; the banded conv
+    (ops/spiral_conv.py) inlines the same structure."""
+    w_, nblk = band.W, band.nblk
+    xpad = jnp.pad(xp, ((w_, w_), (0, 0)))
+    win = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, st, w_)
+                     for st in band.starts])             # [nblk, W, B*C]
+    y = jnp.einsum("nrw,nwc->nrc", u_blocks, win,
+                   preferred_element_type=xp.dtype)
+    return y.reshape(nblk * u_blocks.shape[1], -1)[:n_rows]
+
+
+def pool_banded(x: jnp.ndarray, pool_idx: jnp.ndarray, band) -> jnp.ndarray:
+    """pool as a BLOCK-BANDED one-hot matmul (ops/banding.py): QEM keeps
+    collapse survivors in fine-index order, so pool_idx is near-diagonal
+    with a 2x stretch — a [R, W] window per block covers it with ZERO
+    out-of-band entries on the production topology (R=128, W=384), cutting
+    the dense form's [V_c, V_f] K-dim to W and keeping the VJP a matmul."""
+    b, vf1, c = x.shape
+    vc1 = pool_idx.shape[0]
+    r, w_, nblk = band.R, band.W, band.nblk
+    idx_pad = jnp.pad(pool_idx, (0, nblk * r - vc1),
+                      constant_values=-(w_ + 1))
+    rel = (idx_pad.reshape(nblk, r) + w_
+           - jnp.asarray(band.starts, jnp.int32)[:, None])
+    p = (rel[..., None] == jnp.arange(w_, dtype=jnp.int32)).astype(x.dtype)
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(vf1, b * c)
+    y = _banded_apply(xp, p, band, vc1)
+    if band.fix_pos.size:
+        y = y.at[jnp.asarray(band.fix_pos)].add(
+            jnp.take(xp, jnp.asarray(band.fix_src), axis=0))
+    return jnp.transpose(y.reshape(vc1, b, c), (1, 0, 2))
+
+
+def pool(x: jnp.ndarray, pool_idx: jnp.ndarray, band=None) -> jnp.ndarray:
     """x [B, V_f+1, C], pool_idx [V_c+1] -> [B, V_c+1, C] by row selection
-    (one-hot matmul at small B — measured 1.2-1.7x fwd+bwd on all levels)."""
+    (one-hot matmul at small B — measured 1.2-1.7x fwd+bwd on all levels;
+    block-banded matmul when the tables carry a band)."""
     b, vf1, _ = x.shape
     if _onehot_ok(b, vf1):
         return pool_dense(x, pool_idx)
+    if band is not None and _banded_ok():
+        return pool_banded(x, pool_idx, band)
     return pool_take(x, pool_idx)
 
 
@@ -111,12 +159,45 @@ def unpool_take(x: jnp.ndarray, unpool_idx: jnp.ndarray,
     return jnp.einsum("bvkc,vk->bvc", g, unpool_w.astype(x.dtype))
 
 
+def unpool_banded(x: jnp.ndarray, unpool_idx: jnp.ndarray,
+                  unpool_w: jnp.ndarray, band) -> jnp.ndarray:
+    """unpool as a BLOCK-BANDED weighted matmul (ops/banding.py): each fine
+    vertex's <=3 barycentric parents sit near fine_index/2, so an [R, W]
+    window per block leaves ~1% out-of-band (fixed up exactly by a sparse
+    weighted gather+add whose weights ride in band.fix_pos order)."""
+    b, vc1, c = x.shape
+    vf1 = unpool_idx.shape[0]
+    r, w_, nblk = band.R, band.W, band.nblk
+    wgt = unpool_w.astype(x.dtype)
+    idx_pad = jnp.pad(unpool_idx, ((0, nblk * r - vf1), (0, 0)),
+                      constant_values=-(w_ + 1))
+    w_pad = jnp.pad(wgt, ((0, nblk * r - vf1), (0, 0)))
+    rel = (idx_pad.reshape(nblk, r, 3) + w_
+           - jnp.asarray(band.starts, jnp.int32)[:, None, None])
+    u = jnp.sum((rel[..., None] == jnp.arange(w_, dtype=jnp.int32))
+                .astype(x.dtype) * w_pad.reshape(nblk, r, 3)[..., None],
+                axis=2)                                  # [nblk, R, W]
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(vc1, b * c)
+    y = _banded_apply(xp, u, band, vf1)
+    if band.fix_pos.size:
+        # fix_pos is flat v*3+k: the fixup source's weight is w[v, k]
+        fp = jnp.asarray(band.fix_pos)
+        fw = wgt.reshape(-1)[fp]
+        y = y.at[fp // 3].add(fw[:, None]
+                              * jnp.take(xp, jnp.asarray(band.fix_src),
+                                         axis=0))
+    return jnp.transpose(y.reshape(vf1, b, c), (1, 0, 2))
+
+
 def unpool(x: jnp.ndarray, unpool_idx: jnp.ndarray,
-           unpool_w: jnp.ndarray) -> jnp.ndarray:
+           unpool_w: jnp.ndarray, band=None) -> jnp.ndarray:
     """x [B, V_c+1, C], unpool_idx [V_f+1, 3], unpool_w [V_f+1, 3]
-    -> [B, V_f+1, C] via barycentric 3-gather (one-hot matmul at small B)."""
+    -> [B, V_f+1, C] via barycentric 3-gather (one-hot matmul at small B;
+    block-banded matmul when the tables carry a band)."""
     b, _, _ = x.shape
     vf1 = unpool_idx.shape[0]
     if _onehot_ok(b, vf1):
         return unpool_dense(x, unpool_idx, unpool_w)
+    if band is not None and _banded_ok():
+        return unpool_banded(x, unpool_idx, unpool_w, band)
     return unpool_take(x, unpool_idx, unpool_w)

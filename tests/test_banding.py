@@ -159,10 +159,103 @@ def test_banded_dispatch_gated_off_on_cpu(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out_banded), np.asarray(ref))
 
 
+def test_banded_pool_exact():
+    """pool_banded is a pure row selection -> bitwise equality with take
+    on CPU, including out-of-band fixups and the dummy target row."""
+    from semantichuman_tpu.ops import sampling as S
+
+    rng = np.random.default_rng(21)
+    vf1, vc1, b, c = 1100, 551, 3, 16
+    # near-diagonal with 2x stretch (QEM survivor order) + a few jumps
+    pidx = np.clip(np.arange(vc1) * 2
+                   + rng.integers(-30, 30, vc1), 0, vf1 - 1)
+    pidx[rng.random(vc1) < 0.03] = rng.integers(0, vf1)
+    pidx[-1] = vf1 - 1
+    pidx = pidx.astype(np.int32)
+    spec = build_band_spec(pidx[:, None], R=64, W=192, dummy=vf1 - 1)
+    assert spec.oob_frac > 0
+    x = rng.standard_normal((b, vf1, c)).astype(np.float32)
+    x[:, -1] = 0.0
+    got = S.pool_banded(jnp.asarray(x), jnp.asarray(pidx), spec)
+    ref = S.pool_take(jnp.asarray(x), jnp.asarray(pidx))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # grads match off the dummy source row
+    g_b = jax.grad(lambda xx: jnp.sum(
+        S.pool_banded(xx, jnp.asarray(pidx), spec) ** 2))(jnp.asarray(x))
+    g_t = jax.grad(lambda xx: jnp.sum(
+        S.pool_take(xx, jnp.asarray(pidx)) ** 2))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_b)[:, :-1],
+                               np.asarray(g_t)[:, :-1],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_banded_unpool_matches():
+    """unpool_banded matches the barycentric 3-gather within f32
+    reassociation noise (same bar as the adopted one-hot dense form),
+    fixups and dummy row included."""
+    from semantichuman_tpu.ops import sampling as S
+
+    rng = np.random.default_rng(22)
+    vf1, vc1, b, c = 1101, 552, 3, 8
+    idx = np.clip((np.arange(vf1)[:, None] // 2)
+                  + rng.integers(-25, 25, (vf1, 3)), 0, vc1 - 1)
+    far = rng.random((vf1, 3)) < 0.04
+    idx[far] = rng.integers(0, vc1, far.sum())
+    idx[-1] = vc1 - 1
+    idx = idx.astype(np.int32)
+    w = rng.dirichlet(np.ones(3), vf1).astype(np.float32)
+    w[-1] = [1.0, 0.0, 0.0]
+    spec = build_band_spec(idx, R=64, W=128, dummy=vc1 - 1)
+    assert spec.oob_frac > 0
+    x = rng.standard_normal((b, vc1, c)).astype(np.float32)
+    x[:, -1] = 0.0
+    got = S.unpool_banded(jnp.asarray(x), jnp.asarray(idx), jnp.asarray(w),
+                          spec)
+    ref = S.unpool_take(jnp.asarray(x), jnp.asarray(idx), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    g_b = jax.grad(lambda xx: jnp.sum(S.unpool_banded(
+        xx, jnp.asarray(idx), jnp.asarray(w), spec) ** 2))(jnp.asarray(x))
+    g_t = jax.grad(lambda xx: jnp.sum(S.unpool_take(
+        xx, jnp.asarray(idx), jnp.asarray(w)) ** 2))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_b)[:, :-1],
+                               np.asarray(g_t)[:, :-1],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sampling_banded_dispatch_order(monkeypatch):
+    """In the sampling dispatchers the MEASURED small-batch one-hot
+    adoption outranks banding; banding engages at large batch."""
+    from semantichuman_tpu.ops import sampling as S
+
+    calls = []
+    monkeypatch.setattr(S, "_onehot_ok",
+                        lambda b, v: calls.append("oh_gate") or b <= 16)
+    monkeypatch.setattr(S, "_banded_ok", lambda: True)
+    monkeypatch.setattr(S, "pool_dense",
+                        lambda x, i: calls.append("dense") or S.pool_take(x, i))
+    monkeypatch.setattr(S, "pool_banded",
+                        lambda x, i, band: calls.append("banded")
+                        or S.pool_take(x, i))
+    rng = np.random.default_rng(23)
+    vf1, vc1 = 600, 301
+    pidx = jnp.asarray(np.clip(np.arange(vc1) * 2, 0, vf1 - 1), jnp.int32)
+    spec = object()
+    S.pool(jnp.asarray(rng.standard_normal((4, vf1, 3)), jnp.float32),
+           pidx, band=spec)
+    assert calls[-1] == "dense"
+    S.pool(jnp.asarray(rng.standard_normal((32, vf1, 3)), jnp.float32),
+           pidx, band=spec)
+    assert calls[-1] == "banded"
+
+
 def test_banded_model_forward_matches(small_hierarchy, small_human,
                                       monkeypatch):
     """A PartAE built with banded tables (gate forced on, presets scaled to
-    the small topology) reproduces the plain model's forward bitwise."""
+    the small topology) reproduces the plain model's forward within f32
+    reassociation noise (banded convs/pools are selection-exact; banded
+    unpool reorders its 3-term weighted sums, same bar as the adopted
+    one-hot dense unpool)."""
     from semantichuman_tpu.constants import KPS_INDEX_LIST
     from semantichuman_tpu.models import tables as tables_mod
     from semantichuman_tpu.models.part_ae import PartAE
@@ -171,12 +264,19 @@ def test_banded_model_forward_matches(small_hierarchy, small_human,
     coarse = hier.downsample_part_indices(small_human.part_dict)
     plain = tables_mod.device_tables(hier)
     monkeypatch.setattr(tables_mod, "BAND_MIN_V1", 1)
-    monkeypatch.setattr("semantichuman_tpu.ops.banding.BAND_PRESETS",
-                        ((8, 32), (16, 64)))
+    monkeypatch.setattr(tables_mod, "BAND_MIN_ROWS", 1)
+    for name in ("BAND_PRESETS", "UNPOOL_BAND_PRESETS",
+                 "POOL_BAND_PRESETS"):
+        monkeypatch.setattr(f"semantichuman_tpu.ops.banding.{name}",
+                            ((8, 32), (16, 64)))
     monkeypatch.setattr("semantichuman_tpu.ops.banding.MAX_OOB_FRAC", 1.0)
     banded = tables_mod.device_tables(hier, banded=True)
     assert any(b is not None for b in banded.bands)
+    assert any(b is not None for b in banded.pool_bands)
+    assert any(b is not None for b in banded.unpool_bands)
     monkeypatch.setattr(SC, "_banded_ok", lambda: True)
+    from semantichuman_tpu.ops import sampling as sampling_mod
+    monkeypatch.setattr(sampling_mod, "_banded_ok", lambda: True)
 
     kw = dict(filters_enc=[[3, 8, 8, 16, 16], [[]] * 5],
               filters_dec=[[16, 16, 8, 8, 8], [[], [], [], [], 3]])
@@ -192,4 +292,15 @@ def test_banded_model_forward_matches(small_hierarchy, small_human,
     kpsk = kps[:, jnp.asarray(KPS_KEEP)]
     y0 = m0(params, xj, kpsk)[0]
     y1 = m1(params, xj, kpsk)[0]
-    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+
+    # conv-banding alone (no sampling bands) stays BITWISE
+    conv_only = tables_mod.DeviceTables(
+        spirals=banded.spirals, pool_idx=banded.pool_idx,
+        unpool_idx=banded.unpool_idx, unpool_w=banded.unpool_w,
+        sizes=banded.sizes, spiral_sizes=banded.spiral_sizes,
+        bands=banded.bands)
+    m2 = PartAE(conv_only, coarse, KPS_INDEX_LIST, **kw)
+    y2 = m2(params, xj, kpsk)[0]
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y2))
