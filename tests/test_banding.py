@@ -249,6 +249,42 @@ def test_sampling_banded_dispatch_order(monkeypatch):
     assert calls[-1] == "banded"
 
 
+def _force_band_gates(monkeypatch):
+    from semantichuman_tpu.models import tables as tables_mod
+    from semantichuman_tpu.ops import sampling as sampling_mod
+    monkeypatch.setattr(tables_mod, "BAND_MIN_V1", 1)
+    monkeypatch.setattr(tables_mod, "BAND_MIN_ROWS", 1)
+    for name in ("BAND_PRESETS", "UNPOOL_BAND_PRESETS",
+                 "POOL_BAND_PRESETS"):
+        monkeypatch.setattr(f"semantichuman_tpu.ops.banding.{name}",
+                            ((8, 32), (16, 64)))
+    monkeypatch.setattr("semantichuman_tpu.ops.banding.MAX_OOB_FRAC", 1.0)
+    monkeypatch.setattr(SC, "_banded_ok", lambda: True)
+    monkeypatch.setattr(sampling_mod, "_banded_ok", lambda: True)
+
+
+def test_banded_trainer_fits(tmp_path, monkeypatch, small_human):
+    """cfg.model.banded_conv=True trains end-to-end through the jitted
+    multi-branch step (gates forced on the CPU backend): the banded trunk's
+    backward, the band closures inside jit, and eval all hold together."""
+    _force_band_gates(monkeypatch)
+    from semantichuman_tpu.config import Config
+    from semantichuman_tpu.train.loop import Trainer
+    from tests.conftest import SMALL_MODEL_OVERRIDES
+
+    cfg = Config.from_dict({
+        "model": dict(SMALL_MODEL_OVERRIDES, banded_conv=True),
+        "data": {"synthetic": True, "synthetic_train": 8,
+                 "synthetic_test": 4, "normalization": "zeroroot"},
+        "train": {"n_epochs": 1, "batch_train": 4, "batch_interp": 4,
+                  "batch_test": 4, "ck_frequency": 100, "log_every": 0},
+    })
+    tr = Trainer(cfg, str(tmp_path))
+    assert any(b is not None for b in tr.model.tables.bands)
+    tr.fit()
+    assert np.isfinite(tr.validate())
+
+
 def test_banded_model_forward_matches(small_hierarchy, small_human,
                                       monkeypatch):
     """A PartAE built with banded tables (gate forced on, presets scaled to
