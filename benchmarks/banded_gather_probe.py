@@ -250,8 +250,11 @@ def main_sampling():
                                 dummy=vf1 - 1)
         for c in (16, 32):
             for b in batches:
-                x = jnp.asarray(rng.standard_normal((b, vc1, c)),
-                                jnp.float32)
+                # dummy source rows must be zero (the model invariant the
+                # banded forms' pad/fixup no-ops rely on)
+                x = np.asarray(rng.standard_normal((b, vc1, c)), np.float32)
+                x[:, -1] = 0.0
+                x = jnp.asarray(x)
                 t_take = _timed_grad(
                     lambda xx, ix, wx: S.unpool_take(xx, ix, wx),
                     (x, jnp.asarray(idx), jnp.asarray(wgt)))
@@ -272,8 +275,10 @@ def main_sampling():
                 print(json.dumps(rec), flush=True)
                 out.append(rec)
 
-                xf = jnp.asarray(rng.standard_normal((b, vf1, c)),
-                                 jnp.float32)
+                xf = np.asarray(rng.standard_normal((b, vf1, c)),
+                                np.float32)
+                xf[:, -1] = 0.0
+                xf = jnp.asarray(xf)
                 t_take = _timed_grad(
                     lambda xx, ix: S.pool_take(xx, ix),
                     (xf, jnp.asarray(pidx)))

@@ -60,11 +60,14 @@ def device_tables(hier: MeshHierarchy, banded: bool = False) -> DeviceTables:
             for s in hier.spirals)
         # sampling sources live one level over, so the zero dummy row
         # index is passed explicitly
+        # both sampling gates key on the FINE row count, matching the
+        # calibration of the one-hot gate (_ONEHOT_MIN_ROWS checks the
+        # input's fine rows for pool and the output's for unpool)
         pool_bands = tuple(
             bd.pick_band_spec(np.asarray(p)[:, None],
                               presets=bd.POOL_BAND_PRESETS,
                               dummy=hier.sizes[l])
-            if len(p) - 1 >= BAND_MIN_ROWS else None
+            if hier.sizes[l] + 1 >= BAND_MIN_ROWS else None
             for l, p in enumerate(hier.pool_idx))
         unpool_bands = tuple(
             bd.pick_band_spec(np.asarray(u),

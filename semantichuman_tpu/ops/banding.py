@@ -56,9 +56,12 @@ class BandSpec:
              static so window extraction lowers to static slices)
     fix_pos: [nfix] int32 — flat v*S+s positions whose index is out-of-band
     fix_src: [nfix] int32 — source row for each fixup position
-    Fixup arrays are padded to a multiple of 8 with (pos=0, src=dummy):
-    the dummy source row is zero by construction (and weighted fixups pad
-    with weight 0), so the padded adds are exact no-ops.
+    Fixup arrays are padded to a multiple of 8 with (pos=0, src=dummy).
+    The padded adds are exact no-ops ONLY because the dummy SOURCE row is
+    zero by construction — weighted consumers (unpool) look up a real,
+    generally nonzero weight for the padded position, and it multiplies
+    the zero dummy row.  A banded op over a source whose dummy row is not
+    structurally zero must not reuse these pads.
     """
     starts: tuple
     fix_pos: np.ndarray
@@ -110,12 +113,35 @@ def build_band_spec(index_table: np.ndarray, R: int, W: int,
                     R=R, W=W, oob_frac=len(miss_v) / sp.size)
 
 
+def banded_apply(xp, u_blocks, band: BandSpec, n_rows: int):
+    """Apply a block-banded operator on device: xp [V_src, B*C] (unpadded),
+    u_blocks [nblk, R*S', W] -> [n_rows, B*C] (rows beyond the blocks'
+    coverage sliced off).  The single shared structure under the banded
+    conv/pool/unpool forms: pad the source by W rows each side, extract
+    one static window per block, contract windows against the band."""
+    import jax
+    import jax.numpy as jnp
+
+    w_, nblk = band.W, band.nblk
+    xpad = jnp.pad(xp, ((w_, w_), (0, 0)))
+    win = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, st, w_)
+                     for st in band.starts])             # [nblk, W, B*C]
+    y = jnp.einsum("nrw,nwc->nrc", u_blocks, win,
+                   preferred_element_type=xp.dtype)
+    return y.reshape(nblk * u_blocks.shape[1], -1)[:n_rows]
+
+
 def pick_band_spec(index_table: np.ndarray,
-                   presets=BAND_PRESETS,
-                   max_oob: float = MAX_OOB_FRAC,
+                   presets=None,
+                   max_oob: float | None = None,
                    dummy: int | None = None) -> BandSpec | None:
     """First preset whose out-of-band fraction is acceptable, else None
-    (a topology with no index locality keeps the gather path)."""
+    (a topology with no index locality keeps the gather path).  Defaults
+    resolve at CALL time so the module constants stay patchable."""
+    if presets is None:
+        presets = BAND_PRESETS
+    if max_oob is None:
+        max_oob = MAX_OOB_FRAC
     for R, W in presets:
         spec = build_band_spec(index_table, R, W, dummy=dummy)
         if spec.oob_frac <= max_oob:

@@ -127,17 +127,21 @@ def _probe() -> bool:
 
 
 def spiral_conv_auto(x, spiral_idx, w, bias, activation: str = "elu",
-                     compute_dtype=None):
+                     compute_dtype=None, band=None):
     """XLA gather+matmul by default; the fused Pallas kernel only when
     explicitly requested (SH_TPU_FORCE_PALLAS=1) AND the probe passes.
 
     The opt-in default is deliberate: the current Mosaic toolchain rejects
     multi-vreg gathers at real vertex counts, pallas_call lacks an automatic
     VJP for the training path, and measured XLA gather+matmul already runs
-    near HBM bandwidth.
+    near HBM bandwidth.  `band` (carried by fine levels when
+    cfg.model.banded_conv is on) passes through to the XLA dispatcher; the
+    forced-Pallas measurement path ignores it (the kernel predates banding
+    and is kept only as a measurement record).
     """
     import os
     if os.environ.get("SH_TPU_FORCE_PALLAS") and _probe():
         return spiral_conv_fused(x, spiral_idx, w, bias, activation,
                                  compute_dtype)
-    return spiral_conv(x, spiral_idx, w, bias, activation, compute_dtype)
+    return spiral_conv(x, spiral_idx, w, bias, activation, compute_dtype,
+                       band=band)

@@ -41,6 +41,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .banding import banded_apply
+
 # one-hot paths engage only below this concrete batch (measured knee: the
 # matmul's FLOPs scale with B, the take's row floor does not; B=12 still
 # wins, B>=32 loses) and at/above this fine-row count (every production
@@ -86,21 +88,6 @@ def pool_take(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(x, pool_idx, axis=1)
 
 
-def _banded_apply(xp: jnp.ndarray, u_blocks: jnp.ndarray, band,
-                  n_rows: int) -> jnp.ndarray:
-    """Apply a block-banded operator: xp [V_src, B*C] (unpadded), u_blocks
-    [nblk, R*S', W] -> [n_rows, B*C] (rows beyond the blocks' coverage
-    sliced off).  Shared by the banded pool/unpool forms; the banded conv
-    (ops/spiral_conv.py) inlines the same structure."""
-    w_, nblk = band.W, band.nblk
-    xpad = jnp.pad(xp, ((w_, w_), (0, 0)))
-    win = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, st, w_)
-                     for st in band.starts])             # [nblk, W, B*C]
-    y = jnp.einsum("nrw,nwc->nrc", u_blocks, win,
-                   preferred_element_type=xp.dtype)
-    return y.reshape(nblk * u_blocks.shape[1], -1)[:n_rows]
-
-
 def pool_banded(x: jnp.ndarray, pool_idx: jnp.ndarray, band) -> jnp.ndarray:
     """pool as a BLOCK-BANDED one-hot matmul (ops/banding.py): QEM keeps
     collapse survivors in fine-index order, so pool_idx is near-diagonal
@@ -116,7 +103,7 @@ def pool_banded(x: jnp.ndarray, pool_idx: jnp.ndarray, band) -> jnp.ndarray:
            - jnp.asarray(band.starts, jnp.int32)[:, None])
     p = (rel[..., None] == jnp.arange(w_, dtype=jnp.int32)).astype(x.dtype)
     xp = jnp.transpose(x, (1, 0, 2)).reshape(vf1, b * c)
-    y = _banded_apply(xp, p, band, vc1)
+    y = banded_apply(xp, p, band, vc1)
     if band.fix_pos.size:
         y = y.at[jnp.asarray(band.fix_pos)].add(
             jnp.take(xp, jnp.asarray(band.fix_src), axis=0))
@@ -178,7 +165,7 @@ def unpool_banded(x: jnp.ndarray, unpool_idx: jnp.ndarray,
                 .astype(x.dtype) * w_pad.reshape(nblk, r, 3)[..., None],
                 axis=2)                                  # [nblk, R, W]
     xp = jnp.transpose(x, (1, 0, 2)).reshape(vc1, b * c)
-    y = _banded_apply(xp, u, band, vf1)
+    y = banded_apply(xp, u, band, vf1)
     if band.fix_pos.size:
         # fix_pos is flat v*3+k: the fixup source's weight is w[v, k]
         fp = jnp.asarray(band.fix_pos)

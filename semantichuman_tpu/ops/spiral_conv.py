@@ -25,6 +25,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .banding import banded_apply
+
 ACTIVATIONS = {
     "relu": jax.nn.relu,
     "elu": jax.nn.elu,
@@ -130,12 +132,7 @@ def spiral_conv_banded(x: jnp.ndarray, spiral_idx: jnp.ndarray, band,
     G = (rel[..., None] == jnp.arange(W, dtype=jnp.int32)
          ).astype(x.dtype).reshape(nblk, R * s, W)
     xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
-    xpad = jnp.pad(xp, ((W, W), (0, 0)))
-    win = jnp.stack([jax.lax.dynamic_slice_in_dim(xpad, st, W)
-                     for st in band.starts])             # [nblk, W, B*C]
-    g = jnp.einsum("nrw,nwc->nrc", G, win,
-                   preferred_element_type=x.dtype)       # [nblk, R*S, B*C]
-    g = g.reshape(nblk * R * s, b * c)[:v1 * s]
+    g = banded_apply(xp, G, band, v1 * s)                # [V1*S, B*C]
     g = g.at[jnp.asarray(band.fix_pos)].add(
         jnp.take(xp, jnp.asarray(band.fix_src), axis=0))
     g = (g.reshape(v1, s, b, c).transpose(2, 0, 1, 3)

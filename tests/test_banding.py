@@ -285,6 +285,30 @@ def test_banded_trainer_fits(tmp_path, monkeypatch, small_human):
     assert np.isfinite(tr.validate())
 
 
+def test_spiral_conv_auto_accepts_band(monkeypatch):
+    """The factory's default TPU conv_fn (spiral_conv_auto, use_pallas=True)
+    must pass `band` through to the XLA dispatcher — the trunks hand it to
+    whatever conv_fn was selected, and banding only ever engages on the
+    backends that select spiral_conv_auto."""
+    from semantichuman_tpu.ops.pallas.spiral_conv_pallas import \
+        spiral_conv_auto
+
+    rng = np.random.default_rng(31)
+    v1, s, c, co = 300, 7, 4, 8
+    sp = _local_table(rng, v1, s)
+    spec = build_band_spec(sp, R=64, W=128)
+    x = rng.standard_normal((4, v1, c)).astype(np.float32)
+    x[:, -1] = 0.0
+    w = (rng.standard_normal((s * c, co)) * 0.1).astype(np.float32)
+    bias = rng.standard_normal(co).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(sp), jnp.asarray(w),
+            jnp.asarray(bias))
+    ref = SC.spiral_conv_take(*args, "elu")
+    monkeypatch.setattr(SC, "_banded_ok", lambda: True)
+    got = spiral_conv_auto(*args, "elu", band=spec)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_banded_model_forward_matches(small_hierarchy, small_human,
                                       monkeypatch):
     """A PartAE built with banded tables (gate forced on, presets scaled to
