@@ -157,7 +157,13 @@ def main():
     # production filter plan shapes per level: (c_in, c_out) — encoder
     # entry + the wide decoder-side conv at the same level
     plan = {0: [(3, 16), (16, 16)], 1: [(16, 32), (32, 32)]}
-    bands = [(256, 768), (512, 1024)]
+    # remote compiles are 1-3 min each: default to the FLOP-optimal preset
+    # and the production on-the-fly form only (SH_TPU_PROBE_BANDS=all adds
+    # the wide preset; SH_TPU_PROBE_RESIDENT=1 adds the resident-G variant)
+    bands = ([(256, 768), (512, 1024)]
+             if os.environ.get("SH_TPU_PROBE_BANDS") == "all"
+             else [(256, 768)])
+    resident = os.environ.get("SH_TPU_PROBE_RESIDENT") == "1"
 
     rng = np.random.default_rng(0)
     out = []
@@ -165,10 +171,17 @@ def main():
         sp_np = np.asarray(hier.spirals[lvl])
         v1, s = sp_np.shape
         sp = jnp.asarray(sp_np)
-        tabs = {rw: build_band_tables(sp_np, *rw) for rw in bands}
-        dev_tabs = {rw: {k: jnp.asarray(v) for k, v in t.items()
-                         if isinstance(v, np.ndarray)}
-                    for rw, t in tabs.items()}
+        if resident:
+            tabs = {rw: build_band_tables(sp_np, *rw) for rw in bands}
+            dev_tabs = {rw: {k: jnp.asarray(v) for k, v in t.items()
+                             if isinstance(v, np.ndarray)}
+                        for rw, t in tabs.items()}
+        else:
+            from semantichuman_tpu.ops.banding import build_band_spec
+            tabs = {rw: {"spec": build_band_spec(sp_np, *rw),
+                         "starts": None}
+                    for rw in bands}
+            dev_tabs = {rw: {} for rw in bands}
         for c_in, c_out in plan[lvl]:
             w = jnp.asarray(rng.standard_normal((s * c_in, c_out)) * 0.02,
                             jnp.float32)
@@ -199,17 +212,18 @@ def main():
                     y_fly = spiral_conv_banded(
                         x, sp, spec, w, bias, "elu",
                         compute_dtype=jnp.bfloat16)
-                    # resident-G comparison variant
-                    t_band = _timed_grad(
-                        lambda xx, Gx, fp, fs, wx, bx, _R=R, _W=W,
-                               _st=tabs[(R, W)]["starts"]: banded_conv(
-                            xx, Gx, fp, fs, wx, bx, _st, _R, _W,
-                            "elu", compute_dtype=jnp.bfloat16),
-                        (x, dt["G"], dt["fix_pos"], dt["fix_src"], w, bias))
                     err = float(jnp.max(jnp.abs(y_ref - y_fly)))
                     rec[f"band{R}x{W}_fly_ms"] = round(t_fly * 1e3, 3)
                     rec[f"band{R}x{W}_fly_speedup"] = round(t_take / t_fly, 2)
-                    rec[f"band{R}x{W}_res_ms"] = round(t_band * 1e3, 3)
+                    if resident:
+                        t_band = _timed_grad(
+                            lambda xx, Gx, fp, fs, wx, bx, _R=R, _W=W,
+                                   _st=tabs[(R, W)]["starts"]: banded_conv(
+                                xx, Gx, fp, fs, wx, bx, _st, _R, _W,
+                                "elu", compute_dtype=jnp.bfloat16),
+                            (x, dt["G"], dt["fix_pos"], dt["fix_src"],
+                             w, bias))
+                        rec[f"band{R}x{W}_res_ms"] = round(t_band * 1e3, 3)
                     rec[f"band{R}x{W}_err"] = err
                     rec[f"band{R}x{W}_oob_pct"] = round(
                         100 * tabs[(R, W)]["oob_frac"], 2)
