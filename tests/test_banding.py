@@ -309,6 +309,35 @@ def test_spiral_conv_auto_accepts_band(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_banded_symbolic_batch_export(small_cfg, small_hierarchy,
+                                      small_human, monkeypatch, tmp_path):
+    """The banded forms are shape-polymorphic in batch: a banded model must
+    export a SYMBOLIC-batch serving artifact and serve multiple batch sizes
+    from it (banding will run under TPU serving, where the gate is on)."""
+    import dataclasses
+
+    from semantichuman_tpu.models import build_model
+    from semantichuman_tpu.serving import ServingBundle, export_inference
+
+    _force_band_gates(monkeypatch)
+    cfg = dataclasses.replace(
+        small_cfg, model=dataclasses.replace(small_cfg.model,
+                                             banded_conv=True))
+    model = build_model(cfg, small_hierarchy, small_human.part_dict)
+    assert any(b is not None for b in model.tables.bands)
+    params = model.init(0)
+    out = str(tmp_path / "bundle")
+    manifest = export_inference(model, params, small_human.J_regressor, out,
+                                batch_size=2)
+    assert manifest["symbolic_batch"] is True
+    served = ServingBundle(out)
+    for b in (1, 3):
+        m = small_human.sample_meshes(b, seed=b).astype(np.float32)
+        v = np.concatenate([m, np.zeros((b, 1, 3), np.float32)], axis=1)
+        rec, _z, _zk = served.forward(jnp.asarray(v))
+        assert rec.shape[0] == b and np.all(np.isfinite(np.asarray(rec)))
+
+
 def test_banded_model_forward_matches(small_hierarchy, small_human,
                                       monkeypatch):
     """A PartAE built with banded tables (gate forced on, presets scaled to
