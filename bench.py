@@ -78,7 +78,38 @@ def _timed(step, params, opt_state, batch, interp, exc, edit_spec,
     return (time.perf_counter() - t0) / iters, metrics
 
 
+def _precheck_backend(timeout_sec: int = 240) -> None:
+    """Fail FAST if the device backend is unreachable.  The axon tunnel can
+    go down for hours (r3: jax.devices() blocks forever on a socket read,
+    single sleeping thread, no error) — probing it in a SUBPROCESS with a
+    timeout converts an indefinite hang into a diagnostic line and a
+    nonzero exit the caller can act on.  Skip with SH_TPU_BENCH_NO_PRECHECK=1
+    (e.g. on CPU-only hosts where the check is pure overhead)."""
+    if os.environ.get("SH_TPU_BENCH_NO_PRECHECK") == "1":
+        return
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_sec, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "train_meshes_per_sec_per_chip", "value": None,
+            "unit": "meshes/s", "vs_baseline": None,
+            "error": f"device backend unreachable: jax.devices() did not "
+                     f"return within {timeout_sec}s (tunnel down?)"}))
+        sys.exit(2)
+    except subprocess.CalledProcessError as e:
+        print(json.dumps({
+            "metric": "train_meshes_per_sec_per_chip", "value": None,
+            "unit": "meshes/s", "vs_baseline": None,
+            "error": f"device backend probe failed (rc={e.returncode})"}))
+        sys.exit(2)
+
+
 def main():
+    _precheck_backend()
     import jax
 
     from semantichuman_tpu.utils.compilation_cache import enable_cache
