@@ -87,44 +87,12 @@ def onehot_conv(x, G, s, w, bias, activation="elu", compute_dtype=None):
     return y.at[:, -1, :].set(0.0)
 
 
+from benchmarks._timing import timed_grad  # noqa: E402
+
+
 def _timed_grad(fn, args, iters=ITERS):
-    """sec/iter of grad(fn) chained through a data dependency.  All device
-    operands ride as ARGUMENTS (closures over large device arrays inside
-    jit ship them as compile-request constants and fail the remote
-    compile — docs/BENCHMARKS.md)."""
-    import jax
-    import jax.numpy as jnp
-
-    def loss(x, *rest):
-        return jnp.sum(jnp.abs(fn(x, *rest)))
-
-    g = jax.grad(loss)
-
-    @jax.jit
-    def chain(x, *rest):
-        def body(carry, _):
-            y = g(carry, *rest)
-            # data dependency: next iteration consumes this one's output
-            return carry + 1e-12 * y, ()
-        out, _ = jax.lax.scan(body, x, None, length=iters)
-        return out
-
-    # Axon-platform timing rules (measured, see docs/BENCHMARKS.md):
-    #   * the timed call needs a DIFFERENT input value — identical repeated
-    #     computations can be served from a result cache (~0 ms readings);
-    #   * block_until_ready can return before remote execution completes —
-    #     force completion by FETCHING a scalar of the result;
-    #   * use >= 100 chained iterations so per-call overhead amortizes.
-    r = chain(*args)
-    float(jnp.sum(r))
-    best = float("inf")
-    for rep in range(2):
-        args2 = (args[0] * (1.0 + 1e-6 * (rep + 1)),) + tuple(args[1:])
-        t0 = time.perf_counter()
-        r = chain(*args2)
-        float(jnp.sum(r))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    """Shared harness (benchmarks/_timing.py), historical sum reduction."""
+    return timed_grad(fn, args, iters, reduction="sum")
 
 
 def main():

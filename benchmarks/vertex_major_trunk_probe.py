@@ -131,35 +131,12 @@ def vmaj_conv_wrapped(x, spiral_idx, w, bias, activation="elu",
     return jnp.transpose(y, (1, 0, 2))
 
 
+from benchmarks._timing import timed_grad  # noqa: E402
+
+
 def _timed_grad(fn, args, iters=ITERS):
-    """sec/iter of grad(fn) chained through a data dependency (operands as
-    arguments — closures over device arrays fail the remote compile)."""
-    import jax
-    import jax.numpy as jnp
-
-    def loss(x, *rest):
-        return jnp.sum(jnp.abs(fn(x, *rest)))
-
-    g = jax.grad(loss)
-
-    @jax.jit
-    def chain(x, *rest):
-        def body(carry, _):
-            y = g(carry, *rest)
-            return carry + 1e-12 * y, ()
-        out, _ = jax.lax.scan(body, x, None, length=iters)
-        return out
-
-    r = chain(*args)
-    float(jnp.sum(r))
-    best = float("inf")
-    for rep in range(2):
-        args2 = (args[0] * (1.0 + 1e-6 * (rep + 1)),) + tuple(args[1:])
-        t0 = time.perf_counter()
-        r = chain(*args2)
-        float(jnp.sum(r))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    """Shared harness (benchmarks/_timing.py), historical sum-abs reduction."""
+    return timed_grad(fn, args, iters, reduction="abs")
 
 
 def main():

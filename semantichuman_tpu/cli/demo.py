@@ -46,6 +46,10 @@ def main(argv=None):
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
     if args.checkpoint_torch:
+        if args.resume:
+            raise ValueError(
+                "--resume and --checkpoint_torch are mutually exclusive "
+                "(cli.train rejects the same conflict)")
         repl = {"resume": None, "resume_torch": args.checkpoint_torch,
                 "finetune": True}
     else:

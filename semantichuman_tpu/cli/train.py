@@ -57,7 +57,7 @@ def main(argv=None):
     if args.synthetic:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, synthetic=True))
-    if args.epochs:
+    if args.epochs is not None:
         # set it on the CONFIG (not just fit()): the lr schedule — cosine
         # anneals over the full n_epochs budget — is built in
         # Trainer.__init__ from cfg.train.n_epochs

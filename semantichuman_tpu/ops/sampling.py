@@ -57,18 +57,20 @@ def _onehot_ok(b, vf1: int) -> bool:
     concrete int batch (symbolic-batch serving exports fall through to the
     shape-polymorphic take) and a non-CPU backend: the win is specific to
     the TPU gather engine's per-row floor — on CPU the dense matmul is
-    strictly slower, and its 3-term sum reassociation would perturb the
-    full-scale CPU parity tests (torch import is pinned at 3e-8)."""
+    strictly slower (and its 3-term sum reassociation would perturb the
+    full-scale CPU parity tests, pinned at 3e-8); GPU gathers are cheap and
+    the one-hot premise is unmeasured there."""
     return (isinstance(b, int) and b <= _ONEHOT_MAX_B
-            and vf1 >= _ONEHOT_MIN_ROWS and jax.default_backend() != "cpu")
+            and vf1 >= _ONEHOT_MIN_ROWS and jax.default_backend() in ("tpu", "axon"))
 
 
 def _banded_ok() -> bool:
     """Trace-time dispatch for the block-banded sampling paths: which
     levels carry a band is decided where tables are built (models/tables);
     the measured small-batch one-hot adoption takes precedence, so banding
-    engages where one-hot was rejected — large batch — on non-CPU backends."""
-    return jax.default_backend() != "cpu"
+    engages where one-hot was rejected — large batch — and only on the TPU
+    backends whose gather row floor motivated it."""
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def pool_dense(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:

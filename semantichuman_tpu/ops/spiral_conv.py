@@ -46,15 +46,16 @@ def _onehot_ok(b, v1: int) -> bool:
     ~95 MB one-hot operand per conv call), and the take path is exactly
     equal anyway (selection sums one product of a 1.0)."""
     return (isinstance(b, int) and b <= 16 and v1 <= 2048
-            and jax.default_backend() != "cpu")
+            and jax.default_backend() in ("tpu", "axon"))
 
 
 def _banded_ok() -> bool:
     """Trace-time dispatch for the block-banded fine-level path: which
     levels carry a band is decided where tables are built (models/tables);
-    here only the CPU backend is excluded — dense selection matmuls lose
-    to the gather there, and the take path is exactly equal anyway."""
-    return jax.default_backend() != "cpu"
+    here the path engages only on the TPU backends it was designed and
+    measured for (the gather row floor is a TPU-engine property; on CPU or
+    GPU dense selection matmuls are unproven and take is exactly equal)."""
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def spiral_gather(x: jnp.ndarray, spiral_idx: jnp.ndarray) -> jnp.ndarray:
@@ -74,8 +75,16 @@ def spiral_conv_onehot(x: jnp.ndarray, spiral_idx: jnp.ndarray,
     costs ~100 ns/row regardless of row width, batch-independent — at
     small batch that row floor dominates the conv while the MXU idles; a
     one-hot selection matrix built on the fly (iota-compare, fused by XLA)
-    turns both directions into matmuls.  Exact: every output row sums
-    exactly one product of a 1.0.  Measured on the v5e
+    turns both directions into matmuls.  FORWARD is bit-identical to the
+    take path: the selection sums one product of a 1.0, and the MXU's
+    DEFAULT-precision operand truncation is idempotent through the
+    following conv matmul (which truncates the gathered values the same
+    way on both paths).  BACKWARD cotangents take ONE extra bf16 rounding
+    on TPU under an f32 trunk (G^T @ dy truncates dy per MXU pass where
+    the take path's scatter-add accumulates exact f32) — the same
+    magnitude as every trunk matmul's own rounding; both recipes train to
+    reference-level error with these paths active (docs/BENCHMARKS.md).
+    Measured on the v5e
     (benchmarks/coarse_trunk_probe.py, B=4 fwd+bwd): 2.26x / 1.98x / 1.57x
     on levels 2/3/4; REJECTED at L0 (0.76x — the [V1·S, V1] matmul's FLOPs
     outgrow the row floor), L1 (1.16x, below the 1.2x bar), and any level
@@ -110,10 +119,12 @@ def spiral_conv_banded(x: jnp.ndarray, spiral_idx: jnp.ndarray, band,
     ~2% out-of-band tail is fixed up exactly by a sparse gather+add
     whose VJP is a scatter over only those rows.  Dummy pads hit no band
     column and contribute an exact zero (the dummy row is zero by
-    construction), so the forward is bit-identical to the take path;
-    x-cotangents differ from the scatter-add path only by f32 summation
-    order (and at the structurally-zero dummy row, whose cotangent the
-    producing op's dummy re-zeroing discards).
+    construction), so the forward is bit-identical to the take path (MXU
+    operand truncation is idempotent through the following conv matmul —
+    see spiral_conv_onehot); backward cotangents take one extra bf16
+    rounding on TPU under an f32 trunk, differ by f32 summation order
+    elsewhere, and differ freely at the structurally-zero dummy row,
+    whose cotangent the producing op's dummy re-zeroing discards.
 
     The selection tensor is built on the fly (iota-compare) from the
     spiral table — see ops/banding.py for why it must not be resident."""

@@ -50,7 +50,8 @@ def main(argv=None):
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--data_root", default=None)
     ap.add_argument("--workdir", default="results/dfaust_drill")
-    ap.add_argument("--config", default="configs/train_dfaust.yaml",
+    ap_config_default = "configs/train_dfaust.yaml"
+    ap.add_argument("--config", default=ap_config_default,
                     help="model config matching the checkpoint layout")
     args = ap.parse_args(argv)
     os.makedirs(args.workdir, exist_ok=True)
@@ -88,8 +89,19 @@ def main(argv=None):
         # (ds_factors/step_sizes/dilation) — compile with THEM, as the
         # Trainer does (train/loop.py:103-107), or s_import sees a hierarchy
         # the checkpoint was never trained on
-        cfg = (Config.from_yaml(args.config) if os.path.exists(args.config)
-               else Config())
+        if os.path.exists(args.config):
+            cfg = Config.from_yaml(args.config)
+        elif args.config == ap_config_default:
+            # the cwd-relative default may simply not exist yet; say so
+            # instead of silently compiling a mismatched hierarchy
+            print(f"note: default config {args.config!r} not found -> "
+                  "compiling with library-default topology knobs",
+                  flush=True)
+            cfg = Config()
+        else:
+            raise FileNotFoundError(
+                f"--config {args.config!r} does not exist (the topology "
+                "must be compiled with the checkpoint's own model knobs)")
         state["cfg"] = cfg
         a = state["assets"]
         h = compile_topology(
