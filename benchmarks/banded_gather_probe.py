@@ -238,7 +238,10 @@ def main_sampling():
         pidx = np.asarray(hier.pool_idx[lvl])
         pspec = build_band_spec(pidx[:, None], *POOL_BAND_PRESETS[0],
                                 dummy=vf1 - 1)
-        for c in (16, 32):
+        # one channel width: the banded-vs-take decision is about rows vs
+        # FLOPs, and C only scales both sides' row width equally (remote
+        # compiles at 1-3 min each are the scarce resource here)
+        for c in (16,):
             for b in batches:
                 # dummy source rows must be zero (the model invariant the
                 # banded forms' pad/fixup no-ops rely on)
