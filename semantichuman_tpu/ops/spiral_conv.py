@@ -222,18 +222,20 @@ def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
                 compute_dtype=None, band=None) -> jnp.ndarray:
     """x [B, V+1, C_in], w [S*C_in, C_out], bias [C_out] -> [B, V+1, C_out].
 
-    `band` (ops/banding.py BandSpec or None) selects the block-banded
-    matmul form for fine levels; whether a level carries a band is decided
-    where the tables are built (models/tables.py), so this dispatch only
-    excludes the CPU backend (where dense selection matmuls lose to the
-    gather and the take path is exactly equal anyway)."""
+    Dispatch order (same as ops/sampling.py): the MEASURED small-batch
+    one-hot adoption first, then the block-banded form where the tables
+    carry a band (ops/banding.py BandSpec; which levels carry one is
+    decided in models/tables.py), then the gather baseline.  Today bands
+    exist only at the fine levels where one-hot never fires, but the
+    ordering keeps a future coarse-level band extension from silently
+    overriding the measured one-hot regime."""
     b = x.shape[0]
     v1 = spiral_idx.shape[0]
-    if band is not None and _banded_ok():
-        return spiral_conv_banded(x, spiral_idx, band, w, bias, activation,
-                                  compute_dtype)
     if _onehot_ok(b, v1):
         return spiral_conv_onehot(x, spiral_idx, w, bias, activation,
+                                  compute_dtype)
+    if band is not None and _banded_ok():
+        return spiral_conv_banded(x, spiral_idx, band, w, bias, activation,
                                   compute_dtype)
     return spiral_conv_take(x, spiral_idx, w, bias, activation,
                             compute_dtype)
