@@ -29,8 +29,10 @@ and a resident-G-as-argument local variant (isolates the build cost).
 
 Measures fwd+bwd of the fine-level convs (production filter plan, both
 the narrow encoder entry 3->16 and the wide decoder-side 16->16) at
-B=12 (the paper recipe's concatenated 3-branch trunk batch), B=128, and
-B=384 (the headline step's concatenated trunk batch), bf16 compute,
+B=12 (the paper recipe's concatenated 3-branch trunk batch), B=128 (the
+fast recipe's B=64/i32 concatenated trunk), and B=384 (the headline
+step's concatenated trunk batch), bf16 compute by default
+(SH_TPU_PROBE_DTYPE=float32 for the fast recipe's f32-trunk decision),
 against the production `spiral_conv_take` dispatcher.  Accept bar: the
 established 1.2x.
 
@@ -51,6 +53,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 ITERS = int(os.environ.get("SH_TPU_PROBE_ITERS", "100"))
+# bf16 decides the headline trunk; the fast recipe trains f32 — its banding
+# decision needs SH_TPU_PROBE_DTYPE=float32 cells (selection-matmul FLOPs
+# double, the gather row floor does not)
+DTYPE = os.environ.get("SH_TPU_PROBE_DTYPE", "bfloat16")
 
 
 def build_band_tables(sp: np.ndarray, R: int, W: int):
@@ -141,6 +147,7 @@ def main():
              else [(256, 768)])
     resident = os.environ.get("SH_TPU_PROBE_RESIDENT") == "1"
 
+    cdt = getattr(jnp, DTYPE)
     rng = np.random.default_rng(0)
     out = []
     for lvl in levels:
@@ -168,14 +175,14 @@ def main():
                 x[:, -1] = 0.0
                 x = jnp.asarray(x)
                 rec = {"level": lvl, "c_in": c_in, "c_out": c_out,
-                       "batch": b, "v1": v1, "s": s}
+                       "batch": b, "v1": v1, "s": s, "dtype": DTYPE}
                 t_take = _timed_grad(
                     lambda xx, spx, wx, bx: spiral_conv_take(
-                        xx, spx, wx, bx, "elu", compute_dtype=jnp.bfloat16),
+                        xx, spx, wx, bx, "elu", compute_dtype=cdt),
                     (x, sp, w, bias))
                 rec["take_ms"] = round(t_take * 1e3, 3)
                 y_ref = spiral_conv_take(x, sp, w, bias, "elu",
-                                         compute_dtype=jnp.bfloat16)
+                                         compute_dtype=cdt)
                 for (R, W) in bands:
                     dt = dev_tabs[(R, W)]
                     spec = tabs[(R, W)]["spec"]
@@ -183,11 +190,11 @@ def main():
                     t_fly = _timed_grad(
                         lambda xx, spx, wx, bx, _sp=spec: spiral_conv_banded(
                             xx, spx, _sp, wx, bx, "elu",
-                            compute_dtype=jnp.bfloat16),
+                            compute_dtype=cdt),
                         (x, sp, w, bias))
                     y_fly = spiral_conv_banded(
                         x, sp, spec, w, bias, "elu",
-                        compute_dtype=jnp.bfloat16)
+                        compute_dtype=cdt)
                     err = float(jnp.max(jnp.abs(y_ref - y_fly)))
                     rec[f"band{R}x{W}_fly_ms"] = round(t_fly * 1e3, 3)
                     rec[f"band{R}x{W}_fly_speedup"] = round(t_take / t_fly, 2)
@@ -196,7 +203,7 @@ def main():
                             lambda xx, Gx, fp, fs, wx, bx, _R=R, _W=W,
                                    _st=tabs[(R, W)]["starts"]: banded_conv(
                                 xx, Gx, fp, fs, wx, bx, _st, _R, _W,
-                                "elu", compute_dtype=jnp.bfloat16),
+                                "elu", compute_dtype=cdt),
                             (x, dt["G"], dt["fix_pos"], dt["fix_src"],
                              w, bias))
                         rec[f"band{R}x{W}_res_ms"] = round(t_band * 1e3, 3)
