@@ -78,34 +78,59 @@ def _timed(step, params, opt_state, batch, interp, exc, edit_spec,
     return (time.perf_counter() - t0) / iters, metrics
 
 
-def _precheck_backend(timeout_sec: int = 240) -> None:
-    """Fail FAST if the device backend is unreachable.  The axon tunnel can
-    go down for hours (r3: jax.devices() blocks forever on a socket read,
-    single sleeping thread, no error) — probing it in a SUBPROCESS with a
-    timeout converts an indefinite hang into a diagnostic line and a
-    nonzero exit the caller can act on.  Skip with SH_TPU_BENCH_NO_PRECHECK=1
-    (e.g. on CPU-only hosts where the check is pure overhead)."""
-    if os.environ.get("SH_TPU_BENCH_NO_PRECHECK") == "1":
-        return
+def _probe_once(timeout_sec: int) -> tuple:
+    """One subprocess backend probe -> (ok, detail string)."""
     import subprocess
     try:
         subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=timeout_sec, check=True,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True, "ok"
     except subprocess.TimeoutExpired:
-        print(json.dumps({
-            "metric": "train_meshes_per_sec_per_chip", "value": None,
-            "unit": "meshes/s", "vs_baseline": None,
-            "error": f"device backend unreachable: jax.devices() did not "
-                     f"return within {timeout_sec}s (tunnel down?)"}))
-        sys.exit(2)
+        return False, f"timeout>{timeout_sec}s"
     except subprocess.CalledProcessError as e:
-        print(json.dumps({
-            "metric": "train_meshes_per_sec_per_chip", "value": None,
-            "unit": "meshes/s", "vs_baseline": None,
-            "error": f"device backend probe failed (rc={e.returncode})"}))
-        sys.exit(2)
+        return False, f"rc={e.returncode}"
+
+
+def _precheck_backend(timeout_sec: int = 240) -> None:
+    """Fail fast-but-not-brittle if the device backend is unreachable.  The
+    axon tunnel can go down for hours (r3: jax.devices() blocks forever on a
+    socket read, single sleeping thread, no error) — probing it in a
+    SUBPROCESS with a timeout converts an indefinite hang into a diagnostic
+    line and a nonzero exit the caller can act on.  A transient blip should
+    not cost a round's only driver-captured number (r3 lost its headline to
+    exactly this), so failed probes RETRY with escalating backoff before the
+    error JSON is emitted; the full probe history rides in the payload.
+    Skip with SH_TPU_BENCH_NO_PRECHECK=1 (e.g. on CPU-only hosts where the
+    check is pure overhead)."""
+    if os.environ.get("SH_TPU_BENCH_NO_PRECHECK") == "1":
+        return
+    timeout_sec = int(os.environ.get("SH_TPU_BENCH_PRECHECK_TIMEOUT",
+                                     str(timeout_sec)))
+    attempts = int(os.environ.get("SH_TPU_BENCH_PRECHECK_ATTEMPTS", "3"))
+    backoff = float(os.environ.get("SH_TPU_BENCH_PRECHECK_BACKOFF", "120"))
+    history = []
+    for i in range(attempts):
+        ok, detail = _probe_once(timeout_sec)
+        history.append(detail)
+        if ok:
+            if i:
+                print(f"# backend probe recovered on attempt {i + 1}: "
+                      f"{history}", file=sys.stderr)
+            return
+        if i < attempts - 1:
+            wait = backoff * (i + 1)
+            print(f"# backend probe failed ({detail}); retrying in "
+                  f"{wait:.0f}s ({i + 1}/{attempts})", file=sys.stderr)
+            time.sleep(wait)
+    print(json.dumps({
+        "metric": "train_meshes_per_sec_per_chip", "value": None,
+        "unit": "meshes/s", "vs_baseline": None,
+        "error": f"device backend unreachable after {attempts} probes "
+                 f"(tunnel down?)",
+        "probe_history": history}))
+    sys.exit(2)
 
 
 def main():
