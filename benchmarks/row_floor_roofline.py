@@ -1,0 +1,267 @@
+"""Derive the gather/scatter roofline of the B=128 training step.
+
+VERDICT r3 weak #3: the claim "556.8 meshes/s is near the platform bound"
+was asserted from a ~100 ns/row folk number but never DERIVED.  This script
+derives it: it traces the exact production step (same construction as
+bench.py — full topology, bf16 trunk, every loss branch, exc_variant=ori)
+with instrumented conv/pool/unpool entry points, inventories every gathered
+and scattered row and byte, and computes the implied step-time floor under
+the measured two-regime gather model:
+
+    t_op >= max(bytes_moved / BW_EFF,  rows * T_ISSUE)
+
+The two calibration constants are MEASURED on the v5e (docs/BENCHMARKS.md):
+  * T_ISSUE ~ 100 ns/row — the per-descriptor issue floor, binding when
+    rows are NARROW (small batch: r2 measured 10.07-10.21 ms for the
+    103,395-row L0 conv gather/scatter at f32; the r2 Pallas DMA probe
+    measured the same ~96 ns/descriptor independently);
+  * BW_EFF ~ 120-160 GB/s — the gather engine's effective bandwidth,
+    binding when rows are WIDE (B=128: the r1 847 MB L0 f32 gather read
+    at 85-120 GB/s packed / ~160 GB/s best measured — far below the
+    819 GB/s streaming peak, which XLA gathers never approach).
+
+Row counting convention (matches the r2/r3 probe bookkeeping): one row per
+gather/scatter DESCRIPTOR, i.e. per (vertex, spiral-slot) table entry —
+batch and channels ride inside the row, which is what makes small-batch
+steps nearly as expensive as large-batch ones.
+
+Runs entirely on CPU (tracing only — no execution, no chip needed):
+
+    python benchmarks/row_floor_roofline.py [--batch 128] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=1").strip()
+
+import numpy as np  # noqa: E402
+
+# calibration constants (measured, see module docstring)
+T_ISSUE_NS = 100.0
+BW_EFF_GBS = 160.0          # best measured gather bandwidth (optimistic)
+BW_EFF_GBS_TYP = 120.0      # typical measured (production layout)
+
+# measured non-trunk piece times at B=128 (docs/BENCHMARKS.md "Step
+# composition"): the weighted-distance losses are VPU-compute-bound and
+# the part-volume loss is small; neither moves spiral rows.
+MEASURED_LOSS_MS = 72.9
+MEASURED_VOL_MS = 3.1
+# bench.py roofline: 5.43 GFLOP/mesh; v5e bf16 peak 197 TFLOP/s
+GFLOP_PER_MESH = 5.43
+PEAK_TFLOPS = 197.0
+
+STEP_MS_ACHIEVED = {128: 1000.0 * 128 / 556.8}   # r3 headline
+
+
+def _install_counters(records: list):
+    """Wrap the dispatcher entry points the model trunks call, recording
+    (kind, v1, rows, gathered bytes, dtype) per call.  Patching happens
+    BEFORE model construction so the factory captures the wrappers."""
+    import importlib
+
+    import semantichuman_tpu.models.common as common
+    sconv = importlib.import_module("semantichuman_tpu.ops.spiral_conv")
+    sampling = importlib.import_module("semantichuman_tpu.ops.sampling")
+
+    orig_conv, orig_pool, orig_unpool = (sconv.spiral_conv, sampling.pool,
+                                         sampling.unpool)
+
+    def conv(x, spiral_idx, w, bias, activation="elu", compute_dtype=None,
+             band=None):
+        b, _, c = x.shape
+        v1, s = spiral_idx.shape
+        itemsize = np.dtype(compute_dtype or x.dtype).itemsize
+        records.append(dict(kind="conv", v1=int(v1), s=int(s),
+                            rows=int(v1) * int(s), c=int(c),
+                            bc=int(b) * int(c),
+                            bytes_per_row=int(b) * int(c) * itemsize))
+        return orig_conv(x, spiral_idx, w, bias, activation, compute_dtype,
+                         band=band)
+
+    def pool(x, pool_idx, band=None):
+        b, _, c = x.shape
+        rows = int(pool_idx.shape[0])
+        itemsize = np.dtype(x.dtype).itemsize
+        records.append(dict(kind="pool", v1=rows, s=1, rows=rows, c=int(c),
+                            bc=int(b) * int(c),
+                            bytes_per_row=int(b) * int(c) * itemsize))
+        return orig_pool(x, pool_idx, band=band)
+
+    def unpool(x, unpool_idx, unpool_w, band=None):
+        b, _, c = x.shape
+        vf1, taps = unpool_idx.shape
+        rows = int(vf1) * int(taps)
+        itemsize = np.dtype(x.dtype).itemsize
+        records.append(dict(kind="unpool", v1=int(vf1), s=int(taps),
+                            rows=rows, c=int(c),
+                            bc=int(b) * int(c),
+                            bytes_per_row=int(b) * int(c) * itemsize))
+        return orig_unpool(x, unpool_idx, unpool_w, band=band)
+
+    sconv.spiral_conv = conv
+    sampling.pool = pool
+    sampling.unpool = unpool
+    # models.common binds the names at import time
+    common.spiral_conv = conv
+    common.pool = pool
+    common.unpool = unpool
+
+
+def trace_step(batch_size: int) -> list:
+    """Build the bench-identical step and TRACE it (eval_shape — no
+    execution), returning the op records."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    records: list = []
+    _install_counters(records)
+
+    from __graft_entry__ import _FULL_TOPO, _build, _host_batch
+    from semantichuman_tpu.train.edits import EditSampler
+    from semantichuman_tpu.train.optim import make_optimizer
+    from semantichuman_tpu.train.step import StepFlags, make_train_step
+
+    cache = _FULL_TOPO if os.path.exists(_FULL_TOPO) else None
+    cfg, sh, _assets, _hier, model, tables = _build(
+        cache_path=cache,
+        model_overrides={"trunk_dtype": "bfloat16", "use_pallas": False})
+    optimizer = make_optimizer(cfg.train.lr, cfg.train.weight_decay,
+                               cfg.train.lr_decay, steps_per_epoch=1)
+    params = model.init(0)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, tables, optimizer, StepFlags(),
+                           exc_variant="ori")
+
+    sampler = EditSampler(seed=0)
+    spec = sampler.sample_interp(epoch=200, batch_size=batch_size)
+    bs = [_host_batch(sh, batch_size, seed=s) for s in range(3)]
+
+    jax.eval_shape(step, params, opt_state, bs[0], bs[1], bs[2],
+                   {k: np.asarray(v) for k, v in spec.items()})
+    return records
+
+
+def summarize(records: list, batch_size: int) -> dict:
+    per_kind: dict = {}
+    for r in records:
+        key = (r["kind"], r["v1"], r["s"], r["c"])
+        e = per_kind.setdefault(key, dict(calls=0, rows=0, gbytes=0.0,
+                                          bc=r["bc"]))
+        e["calls"] += 1
+        e["rows"] += r["rows"]
+        e["gbytes"] += r["rows"] * r["bytes_per_row"] / 1e9
+
+    rows_fwd = sum(e["rows"] for e in per_kind.values())
+    gb_fwd = sum(e["gbytes"] for e in per_kind.values())
+    # every trunk op sits on the differentiated path: the gather VJP is a
+    # scatter-add of the SAME row count and (cotangent) byte volume
+    rows_total = 2 * rows_fwd
+    gb_total = 2 * gb_fwd
+
+    t_issue_ms = rows_total * T_ISSUE_NS * 1e-6
+    t_bw_ms = gb_total / BW_EFF_GBS * 1e3
+    t_bw_typ_ms = gb_total / BW_EFF_GBS_TYP * 1e3
+    # the two-regime bound applied per OP (max of regimes per op, summed)
+    t_two_regime_ms = sum(
+        2 * max(e["rows"] * T_ISSUE_NS * 1e-6,
+                e["gbytes"] / BW_EFF_GBS * 1e3)
+        for e in per_kind.values())
+    # GFLOP/mesh * B [GFLOP] / peak [TFLOP/s] -> 1e9/1e12 s = milliseconds
+    t_mxu_ms = GFLOP_PER_MESH * batch_size / PEAK_TFLOPS
+
+    bound_rows_only = t_issue_ms
+    bound_gather_only = t_two_regime_ms
+    bound_full = t_two_regime_ms + t_mxu_ms + MEASURED_LOSS_MS + \
+        MEASURED_VOL_MS
+
+    # --- banded-path predicted ceiling ------------------------------------
+    # The block-banded reformulation (ops/banding.py) converts each gather
+    # into a selection MATMUL: per op, selection FLOPs = 2*rows*W*(B*C)
+    # (the one-hot contraction over the W-wide band), and the gathered
+    # buffer's write+read moves at STREAMING bandwidth (dense stores/loads,
+    # ~819 GB/s peak) instead of the gather engine's ~120-160 GB/s.
+    # Backward mirrors both (transposed selection matmul + cotangent
+    # traffic).  W per kind = the full-scale presets.
+    band_w = {"conv": 768, "pool": 384, "unpool": 512}
+    t_banded_ms = 0.0
+    for k, e in per_kind.items():
+        kind = k[0]
+        w = band_w[kind]
+        sel_tflop = 2 * e["rows"] * w * e["bc"] / 1e12
+        t_fwd = max(sel_tflop / PEAK_TFLOPS * 1e3,
+                    2 * e["gbytes"] / 819.0 * 1e3)
+        t_banded_ms += 2 * t_fwd                      # fwd + bwd
+    bound_banded_full = t_banded_ms + t_mxu_ms + MEASURED_LOSS_MS + \
+        MEASURED_VOL_MS
+
+    def mps(ms):
+        return batch_size / ms * 1e3
+
+    out = dict(
+        batch=batch_size,
+        per_op=[dict(kind=k[0], v1=k[1], s=k[2], c_in=k[3], **v)
+                for k, v in sorted(per_kind.items())],
+        rows_fwd=rows_fwd, rows_fwd_plus_bwd=rows_total,
+        gathered_gb_fwd=round(gb_fwd, 3),
+        gathered_gb_fwd_plus_bwd=round(gb_total, 3),
+        t_issue_floor_ms=round(t_issue_ms, 2),
+        t_bandwidth_floor_ms_at_160gbs=round(t_bw_ms, 2),
+        t_bandwidth_floor_ms_at_120gbs=round(t_bw_typ_ms, 2),
+        t_two_regime_gather_bound_ms=round(t_two_regime_ms, 2),
+        t_mxu_ms=round(t_mxu_ms, 2),
+        measured_loss_ms=MEASURED_LOSS_MS, measured_vol_ms=MEASURED_VOL_MS,
+        bound_gathers_only_mps=round(mps(bound_gather_only), 1),
+        bound_rows_only_mps=round(mps(bound_rows_only), 1),
+        bound_full_step_mps=round(mps(bound_full), 1),
+        bound_full_step_ms=round(bound_full, 2),
+        banded_gather_bound_ms=round(t_banded_ms, 2),
+        banded_full_step_bound_ms=round(bound_banded_full, 2),
+        banded_full_step_bound_mps=round(mps(bound_banded_full), 1),
+    )
+    ach = STEP_MS_ACHIEVED.get(batch_size)
+    if ach:
+        out["achieved_mps"] = round(batch_size / ach * 1e3, 1)
+        out["achieved_step_ms"] = round(ach, 2)
+        out["pct_of_full_bound"] = round(100 * bound_full / ach, 1)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args(argv)
+
+    records = trace_step(args.batch)
+    s = summarize(records, args.batch)
+
+    print(f"# B={args.batch} step: trunk gather/scatter inventory "
+          f"(one row = one (vertex, slot) descriptor; batch+channels ride "
+          f"inside the row)")
+    print(f"{'kind':8} {'V1':>6} {'S':>3} {'c_in':>4} {'calls':>5} "
+          f"{'rows(fwd)':>10} {'GB(fwd)':>8}")
+    for e in s["per_op"]:
+        print(f"{e['kind']:8} {e['v1']:>6} {e['s']:>3} {e['c_in']:>4} "
+              f"{e['calls']:>5} {e['rows']:>10} {e['gbytes']:>8.3f}")
+    print(json.dumps({k: v for k, v in s.items() if k != "per_op"},
+                     indent=1))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(s, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

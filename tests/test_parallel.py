@@ -122,3 +122,20 @@ def test_dp_shrink_warns(tmp_path, small_human):
     assert msgs, "expected an idle-chip warning for batch 4 on 8 devices"
     assert "4/8" in msgs[0]
     assert tr.mesh is not None and len(tr.mesh.devices.ravel()) == 4
+
+
+def test_trainer_dryrun_scan_banded_dp8():
+    """The driver's multichip artifact must certify the SHIPPED trainer
+    (VERDICT r3 item 4): multi-epoch lax.scan chunks, the dynamic exc
+    variant, and banded gather tables, all over the 8-device DP mesh —
+    the same machinery configs/train_fast.yaml trains with.
+    trainer_dryrun raises on any regression (mesh not used, bands not
+    attached, scan not engaged, no 2-epoch fusion, non-finite loss)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import trainer_dryrun
+
+    val = trainer_dryrun(8)
+    assert np.isfinite(val)
