@@ -18,6 +18,16 @@ contracts the coefficient matrix against rp rows on the MXU:
 
 — no scatter, one matmul per tile.
 
+Two VJP strategies (SH_TPU_DIST_ONEPASS env, default the r2 two-kernel
+design; on-chip A/B queued in docs/TUNNEL_RECOVERY_RUNBOOK.md):
+  * two-kernel (default): the backward kernel RECOMPUTES w/de/mask/de_r
+    from the stashed inputs — minimal residual memory, but the kernel is
+    VPU-bound and the ~20 vector passes run twice per branch;
+  * one-pass (=1): the gradient is linear in the upstream cotangent, so
+    the forward kernel also emits the UNSCALED gradient g0 and the VJP is
+    one elementwise g0·ct multiply — the recompute disappears for
+    O(B·Σn·128) f32 of streaming residual traffic.
+
 Numerical divergences from the jnp path (documented, both intentional):
   * where the mask admits a pair whose reconstructed distance is exactly 0,
     the jnp path's sqrt yields an inf/NaN gradient; here the pair's
@@ -164,6 +174,50 @@ def _fwd_kernel(n_real_ref, allone_ref, a_ref, vp_ref, rp_ref, bone_ref,
     out_ref[0] = tile
 
 
+def _fwd_grad_kernel(n_real_ref, allone_ref, a_ref, vp_ref, rp_ref,
+                     bone_ref, out_ref, g0_ref, *, n_pad: int, w_mode: str,
+                     w_threshold: float, relat: bool):
+    """One-pass variant: forward scalars AND the UNSCALED reconstruction
+    gradient g0 = d(term_sum)/d(rp) in a single program.  The gradient is
+    linear in the upstream cotangent, so the VJP is g0 * ct — computed
+    outside the kernel as one elementwise multiply.  Eliminates the
+    backward kernel's full tile recompute (w/de/mask/de_r twice per
+    branch) at the cost of writing g0 ([n_pad, 128] f32 per program) to
+    HBM: ~20 VPU passes traded for ~3 bytes/element of streaming
+    traffic."""
+    i = pl.program_id(0)
+    vp = vp_ref[0]
+    rp = rp_ref[0]
+    bone = bone_ref[0][0:1, :]
+    w, de, mask = _weights_de_mask(vp, bone, n_real_ref[i], allone_ref[i],
+                                   a_ref[i], n_pad=n_pad, w_mode=w_mode,
+                                   w_threshold=w_threshold)
+    de_r0 = _pair_dists(rp)
+    de_r = jnp.where(mask, de_r0, 0.0)
+    if relat:
+        de_safe = jnp.where(mask, de, 1.0)
+        term = jnp.abs(w * (de_r / de_safe) - w)
+        g = (w / de_safe) * jnp.sign(w * (de_r0 / de_safe) - w)
+    else:
+        term = jnp.abs(w * de_r - w * de)
+        g = w * jnp.sign(w * de_r0 - w * de)
+    term = jnp.where(mask, term, 0.0)
+    g = jnp.where(mask, g, 0.0)
+    coef = jnp.where(de_r0 > 0.0, g / jnp.where(de_r0 > 0.0, de_r0, 1.0),
+                     0.0)
+    rowsum = jnp.sum(coef, axis=1, keepdims=True)
+    mixed = jax.lax.dot_general(
+        coef, rp, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    g0_ref[0] = 2.0 * (rp * rowsum - mixed)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+    tile = jnp.where((rows == 0) & (cols == 0), jnp.sum(term), 0.0)
+    tile = jnp.where((rows == 0) & (cols == 1),
+                     jnp.sum(mask.astype(jnp.float32)), tile)
+    out_ref[0] = tile
+
+
 def _bwd_kernel(n_real_ref, allone_ref, a_ref, ct_ref, vp_ref, rp_ref,
                 bone_ref, drp_ref, *, n_pad: int, w_mode: str,
                 w_threshold: float, relat: bool):
@@ -248,14 +302,64 @@ def _fwd_call(vp_stack, rp_stack, bone_stack, a_stack, n_real, allone,
     return out[:, 0, :2]
 
 
+def _fwd_grad_call(vp_stack, rp_stack, bone_stack, a_stack, n_real, allone,
+                   w_mode, w_threshold, relat):
+    """One-pass forward: (sums [g, 2], g0 [g, n_pad, 128])."""
+    g, n_pad, _ = vp_stack.shape
+    batch = g // n_real.shape[0]
+    n_real_e, allone_e, a_e = _expand_scalars(a_stack, n_real, allone, batch)
+    tile, bone = _tile_specs(n_pad)
+    kern = functools.partial(_fwd_grad_kernel, n_pad=n_pad, w_mode=w_mode,
+                             w_threshold=w_threshold, relat=relat)
+    out, g0 = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(g,),
+            in_specs=[tile, tile, bone],
+            out_specs=[
+                pl.BlockSpec((1, 8, _LANES), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, _LANES), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((g, 8, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((g, n_pad, _LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
+    )(n_real_e, allone_e, a_e, vp_stack, rp_stack, bone_stack)
+    return out[:, 0, :2], g0
+
+
+def _one_pass_grad() -> bool:
+    """VJP strategy: True = the fwd kernel also emits the unscaled gradient
+    (no backward recompute); False = the r2 two-kernel design.  Env-gated
+    pending the on-chip A/B (docs/TUNNEL_RECOVERY_RUNBOOK.md): the one-pass
+    form trades the backward kernel's ~20 VPU passes for streaming g0
+    traffic — CPU-interpret tests prove both paths exact vs the jnp
+    formulation either way."""
+    import os
+    return os.environ.get("SH_TPU_DIST_ONEPASS", "0") == "1"
+
+
 def _vjp_fwd(vp_stack, rp_stack, bone_stack, a_stack, n_real, allone,
              w_mode, w_threshold, relat):
+    if _one_pass_grad():
+        out, g0 = _fwd_grad_call(vp_stack, rp_stack, bone_stack, a_stack,
+                                 n_real, allone, w_mode, w_threshold, relat)
+        return out, (g0,)
     out = _fwd_call(vp_stack, rp_stack, bone_stack, a_stack, n_real,
                     allone, w_mode, w_threshold, relat)
     return out, (vp_stack, rp_stack, bone_stack, a_stack, n_real, allone)
 
 
 def _vjp_bwd(w_mode, w_threshold, relat, res, ct):
+    if len(res) == 1:       # one-pass residual: the unscaled gradient
+        (g0,) = res
+        drp = g0 * ct[:, 0].astype(jnp.float32)[:, None, None]
+        return None, drp, None, None, None, None
     vp_stack, rp_stack, bone_stack, a_stack, n_real, allone = res
     g, n_pad, _ = vp_stack.shape
     batch = g // n_real.shape[0]

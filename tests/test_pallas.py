@@ -106,6 +106,33 @@ def test_fused_dist_matches_jnp(_interpret_part_dist, _dist_case, w_mode,
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("w_mode,relat", [("threshold", True),
+                                          ("sin", False)])
+def test_fused_dist_one_pass_grad_matches(_interpret_part_dist, _dist_case,
+                                          monkeypatch, w_mode, relat):
+    """SH_TPU_DIST_ONEPASS=1 routes the VJP through the combined
+    forward+gradient kernel (no backward recompute); value and grad must
+    equal the jnp path exactly as the two-kernel design does."""
+    import jax
+    from semantichuman_tpu.train import losses as L
+    tables, tx, rec, kps, a_full, edited = _dist_case
+    monkeypatch.setenv("SH_TPU_DIST_ONEPASS", "1")
+
+    def loss(rec_j, fused):
+        return L.weighted_distance_loss(
+            jnp.asarray(tx), rec_j, jnp.asarray(kps), tables,
+            a_full=jnp.asarray(a_full), edited_mask=jnp.asarray(edited),
+            n_edited=jnp.float32(2.0), w_mode=w_mode, w_threshold=0.8,
+            w_part_mode="1/K", relat=relat, leafkeep=True, fused=fused)
+
+    rec_j = jnp.asarray(rec)
+    v_ref, g_ref = jax.value_and_grad(lambda r: loss(r, False))(rec_j)
+    v_fus, g_fus = jax.value_and_grad(lambda r: loss(r, True))(rec_j)
+    np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fused_dist_probe_false_on_cpu():
     """The availability probe must report False on the CPU backend even when
     called mid-trace (a deferred pallas lowering error once made it
