@@ -1,0 +1,67 @@
+"""Pin the roofline summary arithmetic (benchmarks/row_floor_roofline.py):
+the derived-bound table in docs/BENCHMARKS.md rests on these formulas."""
+
+import importlib.util
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def rl():
+    spec = importlib.util.spec_from_file_location(
+        "row_floor_roofline",
+        os.path.join(REPO, "benchmarks", "row_floor_roofline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_summarize_single_conv(rl):
+    # one conv: V1=1000, S=10, c=16, B=128 bf16 -> 10k rows, 40.96 MB fwd
+    rec = [dict(kind="conv", v1=1000, s=10, rows=10_000, c=16,
+                bc=128 * 16, bytes_per_row=128 * 16 * 2)]
+    s = rl.summarize(rec, 128)
+    assert s["rows_fwd"] == 10_000
+    assert s["rows_fwd_plus_bwd"] == 20_000
+    assert s["gathered_gb_fwd"] == pytest.approx(0.041, abs=0.001)
+    # issue floor: 20k rows * 100 ns = 2 ms
+    assert s["t_issue_floor_ms"] == pytest.approx(2.0, rel=1e-6)
+    # bandwidth floor at 160 GB/s: 0.08192 GB / 160 GB/s = 0.512 ms
+    assert s["t_bandwidth_floor_ms_at_160gbs"] == pytest.approx(0.51,
+                                                                abs=0.01)
+    # two-regime per-op max -> the issue regime binds here
+    assert s["t_two_regime_gather_bound_ms"] == pytest.approx(2.0, rel=1e-6)
+    # MXU term: 5.43 GFLOP/mesh * 128 / 197 TFLOP/s = 3.53 ms
+    assert s["t_mxu_ms"] == pytest.approx(3.53, abs=0.01)
+    # full bound = gather + mxu + measured losses
+    want_full = 2.0 + s["t_mxu_ms"] + rl.MEASURED_LOSS_MS + \
+        rl.MEASURED_VOL_MS
+    assert s["bound_full_step_ms"] == pytest.approx(want_full, abs=0.01)
+    assert s["bound_full_step_mps"] == pytest.approx(
+        128 / want_full * 1e3, abs=0.5)
+    # achieved comparison present for the headline batch
+    assert s["achieved_mps"] == 556.8
+
+
+def test_summarize_bandwidth_regime(rl):
+    # a WIDE-row op (few rows, huge bytes) must bind on bandwidth
+    rec = [dict(kind="unpool", v1=100, s=3, rows=300, c=512,
+                bc=1024 * 512, bytes_per_row=1024 * 512 * 4)]
+    s = rl.summarize(rec, 128)
+    # 300 rows * 100 ns = 0.03 ms issue vs 2*0.629GB/160 GB/s = 7.86 ms
+    assert s["t_two_regime_gather_bound_ms"] > 5.0
+    assert s["t_two_regime_gather_bound_ms"] == pytest.approx(
+        s["t_bandwidth_floor_ms_at_160gbs"], rel=1e-6)
+
+
+def test_banded_ceiling_monotone(rl):
+    """The banded predicted ceiling must beat the gather bound whenever the
+    selection-matmul FLOPs are small relative to the gather traffic (the
+    production regime)."""
+    rec = [dict(kind="conv", v1=6893, s=15, rows=103_395, c=16,
+                bc=384 * 16, bytes_per_row=384 * 16 * 2)]
+    s = rl.summarize(rec, 128)
+    assert s["banded_gather_bound_ms"] < s["t_two_regime_gather_bound_ms"]
