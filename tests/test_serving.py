@@ -93,3 +93,27 @@ def test_fixed_batch_fallback_flag(small_cfg, small_hierarchy, small_human,
     assert manifest["symbolic_batch"] is False
     assert manifest["batch_size"] == 2
     assert manifest["artifacts"]["forward"]["in_shapes"][0][0] == 2
+
+
+def test_sharded_batch_serving_dp8(bundle, small_human):
+    """Multi-chip DP inference from the SAME symbolic-batch artifact: a
+    batch-sharded input over an 8-device mesh executes without resharding
+    to one device, keeps the output batch-sharded (per-shard compute rides
+    each chip), and matches the unsharded call within f32 reassociation
+    noise (~1 ULP — the dot tiling changes when the batch dim splits)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    _m, _p, b, manifest = bundle
+    assert manifest["symbolic_batch"] is True
+    m = small_human.sample_meshes(8, seed=13).astype(np.float32)
+    v = np.concatenate([m, np.zeros((8, 1, 3), np.float32)], axis=1)
+    ref = b.forward(jnp.asarray(v))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    vs = jax.device_put(v, NamedSharding(mesh, PartitionSpec("dp")))
+    got = b.forward(vs)
+    assert "dp" in str(got[0].sharding.spec)  # output stays batch-sharded
+    for a, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-6, atol=2e-7)
