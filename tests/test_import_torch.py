@@ -262,6 +262,21 @@ def test_reference_class_oracle_neural3dmm(small_cfg, small_hierarchy,
     np.testing.assert_allclose(np.asarray(j_rec), t_rec.numpy(), atol=2e-4)
 
 
+def test_reference_class_kps2skl_parity(ref_oracle, batch):
+    """The skeleton algebra every edit/loss rests on: the reference class's
+    own kps2skl (models.py:284-304 — unit bone direction + length, with
+    the 32-kept -> 35-full zero-fill and midpoint far-endpoints) must
+    match ops.skeleton.kps2skl('ori_m') on the same kept keypoints."""
+    from semantichuman_tpu.ops.skeleton import kps2skl
+
+    _jax_model, ref_model = ref_oracle
+    _x, kps = batch
+    with torch.no_grad():
+        t_skl = ref_model.kps2skl(torch.as_tensor(kps))
+    j_skl = kps2skl(jnp.asarray(kps), "ori_m")
+    np.testing.assert_allclose(np.asarray(j_skl), t_skl.numpy(), atol=1e-5)
+
+
 def test_imported_forward_matches_torch(pair, batch):
     jax_model, torch_model = pair
     x, kps = batch
