@@ -1,0 +1,53 @@
+#!/bin/bash
+# r4 tunnel-recovery auto-runner: wait for the TPU tunnel, then drain the
+# measurement queue (docs/TUNNEL_RECOVERY_RUNBOOK.md) in priority order,
+# logging every step to results/r4_tpu/.  Adoption decisions stay manual —
+# this only collects numbers.  One instance only (PID file).
+set -u
+cd /root/repo
+OUT=results/r4_tpu
+LOG="$OUT/runner.log"
+echo $$ > /tmp/r4_runner.pid
+say() { echo "$(date -Is) $*" >> "$LOG"; }
+
+say "runner started; waiting for tunnel"
+for i in $(seq 1 200); do
+  if timeout 45 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    say "tunnel ALIVE (attempt $i)"
+    break
+  fi
+  [ "$i" = 200 ] && { say "gave up waiting"; exit 1; }
+  sleep 180
+done
+
+run() { # run <name> <timeout> <cmd...>
+  local name=$1 to=$2; shift 2
+  say "START $name: $*"
+  timeout "$to" "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  say "END $name rc=$?"
+}
+
+# 1. sanity fast bench (cold compile expected)
+SH_TPU_BENCH_BATCH=8 SH_TPU_BENCH_ITERS=4 SH_TPU_BENCH_WARMUP=1 \
+  run sanity_bench 2700 python bench.py
+
+# 2. banded probe, bf16 (headline decision cells)
+run banded_probe_bf16 5400 python benchmarks/banded_gather_probe.py
+
+# 3. dispatch exactness (closes VERDICT weak #6)
+run dispatch_check 3600 python benchmarks/onchip_dispatch_check.py
+
+# 4. banded probe, f32 (fast-recipe trunk decision)
+SH_TPU_PROBE_DTYPE=float32 \
+  run banded_probe_f32 5400 python benchmarks/banded_gather_probe.py
+
+# 5. one-pass distance-VJP A/B (fast benches, no sweep)
+SH_TPU_BENCH_BATCH=128 SH_TPU_BENCH_ITERS=8 SH_TPU_BENCH_WARMUP=2 SH_TPU_BENCH_SWEEP=0 \
+  run ab_onepass_off 2700 python bench.py
+SH_TPU_DIST_ONEPASS=1 SH_TPU_BENCH_BATCH=128 SH_TPU_BENCH_ITERS=8 SH_TPU_BENCH_WARMUP=2 SH_TPU_BENCH_SWEEP=0 \
+  run ab_onepass_on 2700 python bench.py
+
+# 6. full headline bench (driver-comparable)
+run bench_full 3600 python bench.py
+
+say "queue drained"
