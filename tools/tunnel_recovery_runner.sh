@@ -51,3 +51,14 @@ SH_TPU_DIST_ONEPASS=1 SH_TPU_BENCH_BATCH=128 SH_TPU_BENCH_ITERS=8 SH_TPU_BENCH_W
 run bench_full 3600 python bench.py
 
 say "queue drained"
+
+# 7. fast-recipe robustness seeds 5 and 6 (VERDICT item 6; ~10 min each
+#    post-compile) — run LAST: they hold the chip longest
+run fast_seed5 3600 python tools/convergence_run.py \
+  --config configs/train_fast.yaml --workdir results/fast_seed5 \
+  --eval_every 50 --seed 5
+run fast_seed6 3600 python tools/convergence_run.py \
+  --config configs/train_fast.yaml --workdir results/fast_seed6 \
+  --eval_every 50 --seed 6
+
+say "queue fully drained (incl. seeds)"
