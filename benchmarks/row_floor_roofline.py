@@ -61,7 +61,10 @@ MEASURED_VOL_MS = 3.1
 GFLOP_PER_MESH = 5.43
 PEAK_TFLOPS = 197.0
 
-STEP_MS_ACHIEVED = {128: 1000.0 * 128 / 556.8}   # r3 headline
+STEP_MS_ACHIEVED = {
+    128: 1000.0 * 128 / 556.8,   # r3 headline bench
+    4: 3500.0 / 64,              # paper recipe: 3.5 s/epoch / 64 steps (r3)
+}
 
 
 def _install_counters(records: list):
@@ -84,28 +87,28 @@ def _install_counters(records: list):
         itemsize = np.dtype(compute_dtype or x.dtype).itemsize
         records.append(dict(kind="conv", v1=int(v1), s=int(s),
                             rows=int(v1) * int(s), c=int(c),
-                            bc=int(b) * int(c),
+                            bc=int(b) * int(c), src1=int(v1),
                             bytes_per_row=int(b) * int(c) * itemsize))
         return orig_conv(x, spiral_idx, w, bias, activation, compute_dtype,
                          band=band)
 
     def pool(x, pool_idx, band=None):
-        b, _, c = x.shape
+        b, src1, c = x.shape
         rows = int(pool_idx.shape[0])
         itemsize = np.dtype(x.dtype).itemsize
         records.append(dict(kind="pool", v1=rows, s=1, rows=rows, c=int(c),
-                            bc=int(b) * int(c),
+                            bc=int(b) * int(c), src1=int(src1),
                             bytes_per_row=int(b) * int(c) * itemsize))
         return orig_pool(x, pool_idx, band=band)
 
     def unpool(x, unpool_idx, unpool_w, band=None):
-        b, _, c = x.shape
+        b, src1, c = x.shape
         vf1, taps = unpool_idx.shape
         rows = int(vf1) * int(taps)
         itemsize = np.dtype(x.dtype).itemsize
         records.append(dict(kind="unpool", v1=int(vf1), s=int(taps),
                             rows=rows, c=int(c),
-                            bc=int(b) * int(c),
+                            bc=int(b) * int(c), src1=int(src1),
                             bytes_per_row=int(b) * int(c) * itemsize))
         return orig_unpool(x, unpool_idx, unpool_w, band=band)
 
@@ -158,13 +161,36 @@ def summarize(records: list, batch_size: int) -> dict:
     for r in records:
         key = (r["kind"], r["v1"], r["s"], r["c"])
         e = per_kind.setdefault(key, dict(calls=0, rows=0, gbytes=0.0,
-                                          bc=r["bc"]))
+                                          bc=r["bc"], src1=r["src1"]))
         e["calls"] += 1
         e["rows"] += r["rows"]
         e["gbytes"] += r["rows"] * r["bytes_per_row"] / 1e9
 
-    rows_fwd = sum(e["rows"] for e in per_kind.values())
-    gb_fwd = sum(e["gbytes"] for e in per_kind.values())
+    # --- dispatch-aware op classification ---------------------------------
+    # The production dispatcher routes small-batch ops through the ADOPTED
+    # one-hot MXU forms (ops/spiral_conv._onehot_ok: concrete b<=16 and
+    # V1<=2048; ops/sampling._onehot_ok: b<=16 and fine rows>=512), where
+    # they move NO gather rows — the cost is a selection matmul instead.
+    # At B>=32 nothing qualifies and this matches the pure-gather model.
+    def _onehot_route(kind, k, e):
+        b = e["bc"] // max(k[3], 1)
+        if kind == "conv":
+            return b <= 16 and k[1] <= 2048
+        fine = e["src1"] if kind == "pool" else k[1]
+        return b <= 16 and fine >= 512
+
+    def _onehot_tflop(kind, k, e):
+        # conv: [V1*S, V1] @ [V1, bc]; pool: [Vc1, Vf1] @ [Vf1, bc];
+        # unpool: [Vf1, Vc1] @ [Vc1, bc]
+        src = k[1] if kind == "conv" else e["src1"]
+        return 2 * e["rows"] * src * e["bc"] / 1e12
+
+    gather_ops, onehot_ops = {}, {}
+    for k, e in per_kind.items():
+        (onehot_ops if _onehot_route(k[0], k, e) else gather_ops)[k] = e
+
+    rows_fwd = sum(e["rows"] for e in gather_ops.values())
+    gb_fwd = sum(e["gbytes"] for e in gather_ops.values())
     # every trunk op sits on the differentiated path: the gather VJP is a
     # scatter-add of the SAME row count and (cotangent) byte volume
     rows_total = 2 * rows_fwd
@@ -177,14 +203,22 @@ def summarize(records: list, batch_size: int) -> dict:
     t_two_regime_ms = sum(
         2 * max(e["rows"] * T_ISSUE_NS * 1e-6,
                 e["gbytes"] / BW_EFF_GBS * 1e3)
-        for e in per_kind.values())
+        for e in gather_ops.values())
+    # the one-hot ops' MXU + streaming cost (fwd + transposed bwd)
+    t_onehot_ms = sum(
+        2 * max(_onehot_tflop(k[0], k, e) / PEAK_TFLOPS * 1e3,
+                2 * e["gbytes"] / 819.0 * 1e3)
+        for k, e in onehot_ops.items())
     # GFLOP/mesh * B [GFLOP] / peak [TFLOP/s] -> 1e9/1e12 s = milliseconds
     t_mxu_ms = GFLOP_PER_MESH * batch_size / PEAK_TFLOPS
+    # the distance-loss/vol pieces were measured at B=128 and their kernel
+    # grids scale with B — scale linearly for other batches (approximation)
+    loss_ms = MEASURED_LOSS_MS * batch_size / 128.0
+    vol_ms = MEASURED_VOL_MS * batch_size / 128.0
 
     bound_rows_only = t_issue_ms
-    bound_gather_only = t_two_regime_ms
-    bound_full = t_two_regime_ms + t_mxu_ms + MEASURED_LOSS_MS + \
-        MEASURED_VOL_MS
+    bound_gather_only = t_two_regime_ms + t_onehot_ms
+    bound_full = bound_gather_only + t_mxu_ms + loss_ms + vol_ms
 
     # --- banded-path predicted ceiling ------------------------------------
     # The block-banded reformulation (ops/banding.py) converts each gather
@@ -194,20 +228,22 @@ def summarize(records: list, batch_size: int) -> dict:
     # ~819 GB/s peak) instead of the gather engine's ~120-160 GB/s.
     # Backward mirrors both (transposed selection matmul + cotangent
     # traffic).  W per kind = the full-scale presets.
+    # (the one-hot ops keep their one-hot route — dispatch order puts the
+    # measured small-batch adoption first)
     band_w = {"conv": 768, "pool": 384, "unpool": 512}
     t_banded_ms = 0.0
-    for k, e in per_kind.items():
+    for k, e in gather_ops.items():
         kind = k[0]
         w = band_w[kind]
         sel_tflop = 2 * e["rows"] * w * e["bc"] / 1e12
         t_fwd = max(sel_tflop / PEAK_TFLOPS * 1e3,
                     2 * e["gbytes"] / 819.0 * 1e3)
         t_banded_ms += 2 * t_fwd                      # fwd + bwd
-    bound_banded_full = t_banded_ms + t_mxu_ms + MEASURED_LOSS_MS + \
-        MEASURED_VOL_MS
+    bound_banded_full = t_banded_ms + t_onehot_ms + t_mxu_ms + loss_ms + \
+        vol_ms
 
     def mps(ms):
-        return batch_size / ms * 1e3
+        return batch_size / max(ms, 1e-9) * 1e3
 
     out = dict(
         batch=batch_size,
@@ -220,8 +256,10 @@ def summarize(records: list, batch_size: int) -> dict:
         t_bandwidth_floor_ms_at_160gbs=round(t_bw_ms, 2),
         t_bandwidth_floor_ms_at_120gbs=round(t_bw_typ_ms, 2),
         t_two_regime_gather_bound_ms=round(t_two_regime_ms, 2),
+        t_onehot_ops_bound_ms=round(t_onehot_ms, 2),
+        n_onehot_routed_ops=len(onehot_ops),
         t_mxu_ms=round(t_mxu_ms, 2),
-        measured_loss_ms=MEASURED_LOSS_MS, measured_vol_ms=MEASURED_VOL_MS,
+        loss_ms_scaled=round(loss_ms, 2), vol_ms_scaled=round(vol_ms, 2),
         bound_gathers_only_mps=round(mps(bound_gather_only), 1),
         bound_rows_only_mps=round(mps(bound_rows_only), 1),
         bound_full_step_mps=round(mps(bound_full), 1),

@@ -21,7 +21,7 @@ def rl():
 
 def test_summarize_single_conv(rl):
     # one conv: V1=1000, S=10, c=16, B=128 bf16 -> 10k rows, 40.96 MB fwd
-    rec = [dict(kind="conv", v1=1000, s=10, rows=10_000, c=16,
+    rec = [dict(kind="conv", v1=1000, s=10, rows=10_000, c=16, src1=1000,
                 bc=128 * 16, bytes_per_row=128 * 16 * 2)]
     s = rl.summarize(rec, 128)
     assert s["rows_fwd"] == 10_000
@@ -36,7 +36,7 @@ def test_summarize_single_conv(rl):
     assert s["t_two_regime_gather_bound_ms"] == pytest.approx(2.0, rel=1e-6)
     # MXU term: 5.43 GFLOP/mesh * 128 / 197 TFLOP/s = 3.53 ms
     assert s["t_mxu_ms"] == pytest.approx(3.53, abs=0.01)
-    # full bound = gather + mxu + measured losses
+    # full bound = gather + mxu + measured losses (B=128: scale factor 1)
     want_full = 2.0 + s["t_mxu_ms"] + rl.MEASURED_LOSS_MS + \
         rl.MEASURED_VOL_MS
     assert s["bound_full_step_ms"] == pytest.approx(want_full, abs=0.01)
@@ -48,7 +48,7 @@ def test_summarize_single_conv(rl):
 
 def test_summarize_bandwidth_regime(rl):
     # a WIDE-row op (few rows, huge bytes) must bind on bandwidth
-    rec = [dict(kind="unpool", v1=100, s=3, rows=300, c=512,
+    rec = [dict(kind="unpool", v1=100, s=3, rows=300, c=512, src1=50,
                 bc=1024 * 512, bytes_per_row=1024 * 512 * 4)]
     s = rl.summarize(rec, 128)
     # 300 rows * 100 ns = 0.03 ms issue vs 2*0.629GB/160 GB/s = 7.86 ms
@@ -61,7 +61,25 @@ def test_banded_ceiling_monotone(rl):
     """The banded predicted ceiling must beat the gather bound whenever the
     selection-matmul FLOPs are small relative to the gather traffic (the
     production regime)."""
-    rec = [dict(kind="conv", v1=6893, s=15, rows=103_395, c=16,
+    rec = [dict(kind="conv", v1=6893, s=15, rows=103_395, c=16, src1=6893,
                 bc=384 * 16, bytes_per_row=384 * 16 * 2)]
     s = rl.summarize(rec, 128)
     assert s["banded_gather_bound_ms"] < s["t_two_regime_gather_bound_ms"]
+
+
+def test_small_batch_onehot_routing(rl):
+    """At b<=16 a coarse conv routes through the one-hot form: zero gather
+    rows, its cost modeled as the selection matmul."""
+    rec = [dict(kind="conv", v1=1724, s=8, rows=13_792, c=32, src1=1724,
+                bc=12 * 32, bytes_per_row=12 * 32 * 2)]
+    s = rl.summarize(rec, 4)
+    assert s["n_onehot_routed_ops"] == 1
+    assert s["rows_fwd"] == 0
+    assert s["t_two_regime_gather_bound_ms"] == 0.0
+    assert s["t_onehot_ops_bound_ms"] > 0
+    # an L0-sized conv (V1 > 2048) stays on the gather path at b=12
+    rec2 = [dict(kind="conv", v1=6893, s=15, rows=103_395, c=16, src1=6893,
+                 bc=12 * 16, bytes_per_row=12 * 16 * 2)]
+    s2 = rl.summarize(rec2, 4)
+    assert s2["n_onehot_routed_ops"] == 0
+    assert s2["rows_fwd"] == 103_395
