@@ -151,8 +151,13 @@ def main():
     # the dominant HBM traffic; losses stay fp32 — loss trace matches the
     # fp32 trunk to 6 decimals under --xla_allow_excess_precision)
     dtype = os.environ.get("SH_TPU_BENCH_DTYPE", "bfloat16")
+    overrides = {"trunk_dtype": dtype}
+    if os.environ.get("SH_TPU_BENCH_BANDED") == "1":
+        # A/B knob for the block-banded trunk (ops/banding.py): build the
+        # band tables and let the TPU-gated dispatch use them
+        overrides["banded_conv"] = True
     cfg, sh, assets, hier, model, tables = _build(
-        cache_path=cache, model_overrides={"trunk_dtype": dtype})
+        cache_path=cache, model_overrides=overrides)
 
     optimizer = make_optimizer(cfg.train.lr, cfg.train.weight_decay,
                                cfg.train.lr_decay, steps_per_epoch=1)

@@ -47,12 +47,17 @@ SH_TPU_BENCH_BATCH=128 SH_TPU_BENCH_ITERS=8 SH_TPU_BENCH_WARMUP=2 SH_TPU_BENCH_S
 SH_TPU_DIST_ONEPASS=1 SH_TPU_BENCH_BATCH=128 SH_TPU_BENCH_ITERS=8 SH_TPU_BENCH_WARMUP=2 SH_TPU_BENCH_SWEEP=0 \
   run ab_onepass_on 2700 python bench.py
 
-# 6. full headline bench (driver-comparable)
+# 6. full-step banded A/B (the ultimate adoption evidence: the whole
+#    jitted step with band tables live vs the take baseline)
+SH_TPU_BENCH_BANDED=1 SH_TPU_BENCH_BATCH=128 SH_TPU_BENCH_ITERS=8 SH_TPU_BENCH_WARMUP=2 SH_TPU_BENCH_SWEEP=0 \
+  run ab_banded_on 2700 python bench.py
+
+# 7. full headline bench (driver-comparable)
 run bench_full 3600 python bench.py
 
 say "queue drained"
 
-# 7. fast-recipe robustness seeds 5 and 6 (VERDICT item 6; ~10 min each
+# 8. fast-recipe robustness seeds 5 and 6 (VERDICT item 6; ~10 min each
 #    post-compile) — run LAST: they hold the chip longest
 run fast_seed5 3600 python tools/convergence_run.py \
   --config configs/train_fast.yaml --workdir results/fast_seed5 \
