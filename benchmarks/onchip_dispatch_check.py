@@ -32,17 +32,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # forward bitwise for the conv forms; bf16-rounding band for backward and
-# for the weighted sampling forms (bf16 eps = 2^-8 ~ 3.9e-3; one rounding
-# on top of values O(1))
+# for the weighted sampling forms.  The non-bitwise criterion is
+# ELEMENTWISE: |got - ref| <= RTOL*|ref| + K_EPS*eps_bf16*max|ref| — a few
+# roundings on the element's own magnitude, plus an absolute term tied to
+# the ACCUMULATION scale (a sum-of-products element whose exact value is
+# tiny relative to the sum's operands legitimately carries absolute error
+# ~eps*scale under cancellation).  No flat scale-free atol and no
+# global-max-normalized rel: small-magnitude entries must be right too.
 BWD_RTOL = 2e-2
-BWD_ATOL = 2e-2
+EPS_BF16 = 2.0 ** -8
+K_EPS = 2.0
 
 
 def _maxdiff(a, b):
+    """-> (max |a-b|, max |a-b| / global scale, worst tolerance ratio)."""
     a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-    ad = np.max(np.abs(a - b))
-    scale = max(np.max(np.abs(b)), 1e-30)
-    return float(ad), float(ad / scale)
+    d = np.abs(a - b)
+    ad = float(np.max(d))
+    scale = max(float(np.max(np.abs(b))), 1e-30)
+    tol = BWD_RTOL * np.abs(b) + K_EPS * EPS_BF16 * scale
+    return ad, ad / scale, float(np.max(d / tol))
 
 
 def main():
@@ -102,12 +111,12 @@ def main():
     failures, rows = [], []
 
     def check(name, got, ref, bitwise, what):
-        ad, rd = _maxdiff(got, ref)
-        ok = (ad == 0.0) if bitwise else (rd <= BWD_RTOL or ad <= BWD_ATOL)
+        ad, rd, tr = _maxdiff(got, ref)
+        ok = (ad == 0.0) if bitwise else (tr <= 1.0)
         rows.append(dict(check=name, what=what, max_abs=ad, max_rel=rd,
-                         bitwise_required=bitwise, ok=ok))
+                         tol_ratio=tr, bitwise_required=bitwise, ok=ok))
         print(f"{'OK ' if ok else 'FAIL'} {name:42} {what:3} "
-              f"max_abs={ad:.3e} max_rel={rd:.3e}"
+              f"max_abs={ad:.3e} max_rel={rd:.3e} tol_ratio={tr:.3f}"
               f"{' (bitwise)' if bitwise else ''}", flush=True)
         if not ok:
             failures.append(name)

@@ -179,11 +179,19 @@ def summarize(records: list, batch_size: int) -> dict:
         fine = e["src1"] if kind == "pool" else k[1]
         return b <= 16 and fine >= 512
 
+    def _mm_rows(kind, k, e):
+        # matmul row count per kind: conv [V1*S, ...], pool [Vc1, ...],
+        # unpool [Vf1, ...] — the unpool operator folds its `taps`
+        # barycentric parents into ONE row (sampling.unpool_dense /
+        # unpool_banded build U = sum_k one_hot*w_k), so the descriptor
+        # count (vf1*taps) overstates its matmul rows by the tap factor.
+        return e["rows"] // k[2] if kind == "unpool" else e["rows"]
+
     def _onehot_tflop(kind, k, e):
         # conv: [V1*S, V1] @ [V1, bc]; pool: [Vc1, Vf1] @ [Vf1, bc];
         # unpool: [Vf1, Vc1] @ [Vc1, bc]
         src = k[1] if kind == "conv" else e["src1"]
-        return 2 * e["rows"] * src * e["bc"] / 1e12
+        return 2 * _mm_rows(kind, k, e) * src * e["bc"] / 1e12
 
     gather_ops, onehot_ops = {}, {}
     for k, e in per_kind.items():
@@ -204,10 +212,13 @@ def summarize(records: list, batch_size: int) -> dict:
         2 * max(e["rows"] * T_ISSUE_NS * 1e-6,
                 e["gbytes"] / BW_EFF_GBS * 1e3)
         for e in gather_ops.values())
-    # the one-hot ops' MXU + streaming cost (fwd + transposed bwd)
+    # the one-hot ops' MXU + streaming cost (fwd + transposed bwd); the
+    # streamed buffer is the operator OUTPUT ([mm_rows, bc]) — the unpool
+    # descriptor-row gbytes overstate it by the tap factor
     t_onehot_ms = sum(
         2 * max(_onehot_tflop(k[0], k, e) / PEAK_TFLOPS * 1e3,
-                2 * e["gbytes"] / 819.0 * 1e3)
+                2 * (e["gbytes"] * _mm_rows(k[0], k, e) / e["rows"])
+                / 819.0 * 1e3)
         for k, e in onehot_ops.items())
     # GFLOP/mesh * B [GFLOP] / peak [TFLOP/s] -> 1e9/1e12 s = milliseconds
     t_mxu_ms = GFLOP_PER_MESH * batch_size / PEAK_TFLOPS
@@ -221,8 +232,8 @@ def summarize(records: list, batch_size: int) -> dict:
     bound_full = bound_gather_only + t_mxu_ms + loss_ms + vol_ms
 
     # --- banded-path predicted ceiling ------------------------------------
-    # The block-banded reformulation (ops/banding.py) converts each gather
-    # into a selection MATMUL: per op, selection FLOPs = 2*rows*W*(B*C)
+    # The block-banded reformulation (ops/banding.py) converts a gather
+    # into a selection MATMUL: per op, selection FLOPs = 2*mm_rows*W*(B*C)
     # (the one-hot contraction over the W-wide band), and the gathered
     # buffer's write+read moves at STREAMING bandwidth (dense stores/loads,
     # ~819 GB/s peak) instead of the gather engine's ~120-160 GB/s.
@@ -230,14 +241,33 @@ def summarize(records: list, batch_size: int) -> dict:
     # traffic).  W per kind = the full-scale presets.
     # (the one-hot ops keep their one-hot route — dispatch order puts the
     # measured small-batch adoption first)
+    #
+    # DISPATCH-AWARE: only ops the production table builder actually bands
+    # are converted (models/tables.py: conv bands iff V1 >= BAND_MIN_V1 —
+    # L2/L3/L4 coarse convs stay on take at large batch; pool/unpool band
+    # iff fine rows >= BAND_MIN_ROWS).  Everything else keeps its
+    # two-regime gather cost, so this ceiling models banded_conv=true as
+    # shipped, not a hypothetical all-banded trunk.
+    def _bands(kind, k, e):
+        if kind == "conv":
+            return k[1] >= 2049                       # tables.BAND_MIN_V1
+        fine = e["src1"] if kind == "pool" else k[1]
+        return fine >= 512                            # tables.BAND_MIN_ROWS
     band_w = {"conv": 768, "pool": 384, "unpool": 512}
     t_banded_ms = 0.0
+    n_banded_ops = 0
     for k, e in gather_ops.items():
         kind = k[0]
-        w = band_w[kind]
-        sel_tflop = 2 * e["rows"] * w * e["bc"] / 1e12
+        if not _bands(kind, k, e):
+            t_banded_ms += 2 * max(e["rows"] * T_ISSUE_NS * 1e-6,
+                                   e["gbytes"] / BW_EFF_GBS * 1e3)
+            continue
+        n_banded_ops += 1
+        rows = _mm_rows(kind, k, e)
+        gb = e["gbytes"] * rows / e["rows"]
+        sel_tflop = 2 * rows * band_w[kind] * e["bc"] / 1e12
         t_fwd = max(sel_tflop / PEAK_TFLOPS * 1e3,
-                    2 * e["gbytes"] / 819.0 * 1e3)
+                    2 * gb / 819.0 * 1e3)
         t_banded_ms += 2 * t_fwd                      # fwd + bwd
     bound_banded_full = t_banded_ms + t_onehot_ms + t_mxu_ms + loss_ms + \
         vol_ms
@@ -265,6 +295,7 @@ def summarize(records: list, batch_size: int) -> dict:
         bound_full_step_mps=round(mps(bound_full), 1),
         bound_full_step_ms=round(bound_full, 2),
         banded_gather_bound_ms=round(t_banded_ms, 2),
+        n_banded_ops=n_banded_ops,
         banded_full_step_bound_ms=round(bound_banded_full, 2),
         banded_full_step_bound_mps=round(mps(bound_banded_full), 1),
     )

@@ -250,17 +250,12 @@ def test_sampling_banded_dispatch_order(monkeypatch):
 
 
 def _force_band_gates(monkeypatch):
-    from semantichuman_tpu.models import tables as tables_mod
-    from semantichuman_tpu.ops import sampling as sampling_mod
-    monkeypatch.setattr(tables_mod, "BAND_MIN_V1", 1)
-    monkeypatch.setattr(tables_mod, "BAND_MIN_ROWS", 1)
-    for name in ("BAND_PRESETS", "UNPOOL_BAND_PRESETS",
-                 "POOL_BAND_PRESETS"):
-        monkeypatch.setattr(f"semantichuman_tpu.ops.banding.{name}",
-                            ((8, 32), (16, 64)))
-    monkeypatch.setattr("semantichuman_tpu.ops.banding.MAX_OOB_FRAC", 1.0)
-    monkeypatch.setattr(SC, "_banded_ok", lambda: True)
-    monkeypatch.setattr(sampling_mod, "_banded_ok", lambda: True)
+    # single source of truth for the patch set: utils/testing.py (shared
+    # with __graft_entry__.trainer_dryrun, so the dryrun certifies the
+    # same gate-forced path these tests exercise)
+    from semantichuman_tpu.utils.testing import band_gate_patches
+    for mod, name, val in band_gate_patches():
+        monkeypatch.setattr(mod, name, val)
 
 
 def test_banded_trainer_fits(tmp_path, monkeypatch, small_human):

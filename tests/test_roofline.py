@@ -67,6 +67,51 @@ def test_banded_ceiling_monotone(rl):
     assert s["banded_gather_bound_ms"] < s["t_two_regime_gather_bound_ms"]
 
 
+def test_banded_ceiling_dispatch_aware(rl):
+    """Only ops the production table builder bands (models/tables.py:
+    conv V1>=2049, sampling fine rows>=512) get the selection-matmul
+    ceiling; a coarse conv keeps its two-regime gather cost."""
+    coarse = [dict(kind="conv", v1=1724, s=8, rows=13_792, c=32, src1=1724,
+                   bc=128 * 32, bytes_per_row=128 * 32 * 2)]
+    s = rl.summarize(coarse, 128)
+    assert s["n_banded_ops"] == 0
+    assert s["banded_gather_bound_ms"] == pytest.approx(
+        s["t_two_regime_gather_bound_ms"], rel=1e-6)
+    fine = [dict(kind="conv", v1=6893, s=15, rows=103_395, c=16, src1=6893,
+                 bc=128 * 16, bytes_per_row=128 * 16 * 2)]
+    s2 = rl.summarize(fine, 128)
+    assert s2["n_banded_ops"] == 1
+    assert s2["banded_gather_bound_ms"] < s2["t_two_regime_gather_bound_ms"]
+
+
+def test_unpool_matmul_rows_fold_taps(rl):
+    """The unpool operator folds its 3 barycentric taps into ONE matmul
+    row (U = sum_k one_hot*w_k): its one-hot FLOPs are 2*Vf1*Vc1*bc, not
+    3x that; its banded FLOPs are 2*Vf1*W*bc."""
+    vf1, taps, c, b, vc1 = 1000, 3, 32, 4, 500
+    rec = [dict(kind="unpool", v1=vf1, s=taps, rows=vf1 * taps, c=c,
+                src1=vc1, bc=b * c, bytes_per_row=b * c * 4)]
+    s = rl.summarize(rec, b)
+    # routes one-hot at b=4, fine rows >= 512
+    assert s["n_onehot_routed_ops"] == 1
+    flops_bound_ms = (2 * 2 * vf1 * vc1 * (b * c) / 1e12
+                      / rl.PEAK_TFLOPS * 1e3)          # fwd+bwd
+    # streamed output buffer: [vf1, bc], write+read, fwd+bwd
+    stream_ms = 2 * 2 * (vf1 * b * c * 4 / 1e9) / 819.0 * 1e3
+    assert s["t_onehot_ops_bound_ms"] == pytest.approx(
+        max(flops_bound_ms, stream_ms), abs=0.01)
+    # banded: same fold — rows=vf1, W=512 preset, gb scaled by 1/taps
+    big = [dict(kind="unpool", v1=vf1, s=taps, rows=vf1 * taps, c=c,
+                src1=vc1, bc=128 * c, bytes_per_row=128 * c * 4)]
+    s2 = rl.summarize(big, 128)
+    assert s2["n_banded_ops"] == 1
+    sel_ms = 2 * 2 * vf1 * 512 * (128 * c) / 1e12 / rl.PEAK_TFLOPS * 1e3
+    gb_banded = vf1 * 128 * c * 4 / 1e9
+    stream2_ms = 2 * 2 * gb_banded / 819.0 * 1e3
+    assert s2["banded_gather_bound_ms"] == pytest.approx(
+        max(sel_ms, stream2_ms), abs=0.01)
+
+
 def test_small_batch_onehot_routing(rl):
     """At b<=16 a coarse conv routes through the one-hot form: zero gather
     rows, its cost modeled as the selection matmul."""

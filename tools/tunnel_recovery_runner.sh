@@ -7,6 +7,13 @@ set -u
 cd /root/repo
 OUT=results/r4_tpu
 LOG="$OUT/runner.log"
+mkdir -p "$OUT"
+# enforce the single-instance claim: a live prior runner wins (two
+# instances would contend for the one chip and corrupt every A/B timing)
+if [ -f /tmp/r4_runner.pid ] && kill -0 "$(cat /tmp/r4_runner.pid)" 2>/dev/null; then
+  echo "runner already alive (pid $(cat /tmp/r4_runner.pid)); exiting" >&2
+  exit 1
+fi
 echo $$ > /tmp/r4_runner.pid
 say() { echo "$(date -Is) $*" >> "$LOG"; }
 
