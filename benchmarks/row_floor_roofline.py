@@ -156,7 +156,37 @@ def trace_step(batch_size: int) -> list:
     return records
 
 
+def _dispatch_gates() -> dict:
+    """The production dispatch thresholds, imported from the modules that
+    run them — NOT re-hardcoded — so a gate change (e.g. a batch cap in
+    `_banded_ok`, a preset retune) moves this model automatically.  The
+    banded W per kind is the FIRST preset's window: `pick_band_spec`
+    accepts the first preset whose out-of-band fraction passes, and the
+    production topology passes on the first for all three kinds
+    (docs/BENCHMARKS.md "band viability")."""
+    import importlib
+
+    from semantichuman_tpu.models import tables
+    from semantichuman_tpu.ops import banding, sampling
+    # the ops package re-exports the spiral_conv FUNCTION under the same
+    # name, so the module must be imported by path
+    sconv = importlib.import_module("semantichuman_tpu.ops.spiral_conv")
+
+    return dict(
+        conv_onehot_max_b=sconv._ONEHOT_MAX_B,
+        conv_onehot_max_v1=sconv._ONEHOT_MAX_V1,
+        samp_onehot_max_b=sampling._ONEHOT_MAX_B,
+        samp_onehot_min_rows=sampling._ONEHOT_MIN_ROWS,
+        band_min_v1=tables.BAND_MIN_V1,
+        band_min_rows=tables.BAND_MIN_ROWS,
+        band_w=dict(conv=banding.BAND_PRESETS[0][1],
+                    pool=banding.POOL_BAND_PRESETS[0][1],
+                    unpool=banding.UNPOOL_BAND_PRESETS[0][1]),
+    )
+
+
 def summarize(records: list, batch_size: int) -> dict:
+    gates = _dispatch_gates()
     per_kind: dict = {}
     for r in records:
         key = (r["kind"], r["v1"], r["s"], r["c"])
@@ -168,16 +198,18 @@ def summarize(records: list, batch_size: int) -> dict:
 
     # --- dispatch-aware op classification ---------------------------------
     # The production dispatcher routes small-batch ops through the ADOPTED
-    # one-hot MXU forms (ops/spiral_conv._onehot_ok: concrete b<=16 and
-    # V1<=2048; ops/sampling._onehot_ok: b<=16 and fine rows>=512), where
-    # they move NO gather rows — the cost is a selection matmul instead.
-    # At B>=32 nothing qualifies and this matches the pure-gather model.
+    # one-hot MXU forms (ops/spiral_conv._onehot_ok, ops/sampling._onehot_ok
+    # — thresholds imported via _dispatch_gates), where they move NO gather
+    # rows — the cost is a selection matmul instead.  At large batch
+    # nothing qualifies and this matches the pure-gather model.
     def _onehot_route(kind, k, e):
         b = e["bc"] // max(k[3], 1)
         if kind == "conv":
-            return b <= 16 and k[1] <= 2048
+            return (b <= gates["conv_onehot_max_b"]
+                    and k[1] <= gates["conv_onehot_max_v1"])
         fine = e["src1"] if kind == "pool" else k[1]
-        return b <= 16 and fine >= 512
+        return (b <= gates["samp_onehot_max_b"]
+                and fine >= gates["samp_onehot_min_rows"])
 
     def _mm_rows(kind, k, e):
         # matmul row count per kind: conv [V1*S, ...], pool [Vc1, ...],
@@ -250,10 +282,10 @@ def summarize(records: list, batch_size: int) -> dict:
     # shipped, not a hypothetical all-banded trunk.
     def _bands(kind, k, e):
         if kind == "conv":
-            return k[1] >= 2049                       # tables.BAND_MIN_V1
+            return k[1] >= gates["band_min_v1"]
         fine = e["src1"] if kind == "pool" else k[1]
-        return fine >= 512                            # tables.BAND_MIN_ROWS
-    band_w = {"conv": 768, "pool": 384, "unpool": 512}
+        return fine >= gates["band_min_rows"]
+    band_w = gates["band_w"]
     t_banded_ms = 0.0
     n_banded_ops = 0
     for k, e in gather_ops.items():

@@ -37,6 +37,13 @@ ACTIVATIONS = {
 }
 
 
+# measured adoption region of the one-hot conv form (docs/BENCHMARKS.md):
+# named so the derived roofline (benchmarks/row_floor_roofline.py) models
+# the same gates the dispatcher runs
+_ONEHOT_MAX_B = 16
+_ONEHOT_MAX_V1 = 2048
+
+
 def _onehot_ok(b, v1: int) -> bool:
     """Trace-time dispatch for the small-batch one-hot conv path.  Needs a
     concrete int batch (symbolic-batch serving exports fall through to the
@@ -45,7 +52,8 @@ def _onehot_ok(b, v1: int) -> bool:
     dense matmul is strictly slower (full-scale level 2 would build a
     ~95 MB one-hot operand per conv call), and the take path is exactly
     equal anyway (selection sums one product of a 1.0)."""
-    return (isinstance(b, int) and b <= 16 and v1 <= 2048
+    return (isinstance(b, int) and b <= _ONEHOT_MAX_B
+            and v1 <= _ONEHOT_MAX_V1
             and jax.default_backend() in ("tpu", "axon"))
 
 

@@ -9,12 +9,23 @@ OUT=results/r4_tpu
 LOG="$OUT/runner.log"
 mkdir -p "$OUT"
 # enforce the single-instance claim: a live prior runner wins (two
-# instances would contend for the one chip and corrupt every A/B timing)
-if [ -f /tmp/r4_runner.pid ] && kill -0 "$(cat /tmp/r4_runner.pid)" 2>/dev/null; then
-  echo "runner already alive (pid $(cat /tmp/r4_runner.pid)); exiting" >&2
-  exit 1
+# instances would contend for the one chip and corrupt every A/B timing).
+# The liveness check matches the stored PID's cmdline against this script
+# name — a bare `kill -0` would treat any recycled PID as a live runner
+# and silently refuse to start for the rest of the round.
+if [ -f /tmp/r4_runner.pid ]; then
+  prev=$(cat /tmp/r4_runner.pid)
+  if kill -0 "$prev" 2>/dev/null && \
+     grep -qa tunnel_recovery_runner "/proc/$prev/cmdline" 2>/dev/null; then
+    echo "runner already alive (pid $prev); exiting" >&2
+    exit 1
+  fi
 fi
 echo $$ > /tmp/r4_runner.pid
+# drop the claim on ANY exit so a finished/killed runner never blocks the
+# next invocation (guard against racing a newer instance's claim)
+trap '[ "$(cat /tmp/r4_runner.pid 2>/dev/null)" = "$$" ] \
+  && rm -f /tmp/r4_runner.pid' EXIT
 say() { echo "$(date -Is) $*" >> "$LOG"; }
 
 say "runner started; waiting for tunnel"
