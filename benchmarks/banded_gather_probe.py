@@ -161,8 +161,9 @@ def main():
                         for rw, t in tabs.items()}
         else:
             from semantichuman_tpu.ops.banding import build_band_spec
-            tabs = {rw: {"spec": build_band_spec(sp_np, *rw),
-                         "starts": None}
+            specs = {rw: build_band_spec(sp_np, *rw) for rw in bands}
+            tabs = {rw: {"spec": specs[rw], "starts": None,
+                         "oob_frac": specs[rw].oob_frac}
                     for rw in bands}
             dev_tabs = {rw: {} for rw in bands}
         for c_in, c_out in plan[lvl]:
