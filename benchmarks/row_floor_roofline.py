@@ -179,6 +179,11 @@ def _dispatch_gates() -> dict:
         samp_onehot_min_rows=sampling._ONEHOT_MIN_ROWS,
         band_min_v1=tables.BAND_MIN_V1,
         band_min_rows=tables.BAND_MIN_ROWS,
+        # r4 measured batch caps: conv banding wins only at small batch,
+        # unpool banding only up to B=128, pool banding nowhere
+        conv_band_max_b=sconv._BANDED_MAX_B,
+        unpool_band_max_b=sampling._UNPOOL_BAND_MAX_B,
+        pool_band_max_b=0,
         band_w=dict(conv=banding.BAND_PRESETS[0][1],
                     pool=banding.POOL_BAND_PRESETS[0][1],
                     unpool=banding.UNPOOL_BAND_PRESETS[0][1]),
@@ -281,10 +286,18 @@ def summarize(records: list, batch_size: int) -> dict:
     # two-regime gather cost, so this ceiling models banded_conv=true as
     # shipped, not a hypothetical all-banded trunk.
     def _bands(kind, k, e):
+        # r4: the gate is batch-aware — the on-chip probe rejected conv
+        # banding above B=16 and unpool banding above B=128 (FLOPs scale
+        # with batch, the row floor does not), and pool banding everywhere
+        b = e["bc"] // max(k[3], 1)
         if kind == "conv":
-            return k[1] >= gates["band_min_v1"]
-        fine = e["src1"] if kind == "pool" else k[1]
-        return fine >= gates["band_min_rows"]
+            return (k[1] >= gates["band_min_v1"]
+                    and b <= gates["conv_band_max_b"])
+        if kind == "pool":
+            return (e["src1"] >= gates["band_min_rows"]
+                    and b <= gates["pool_band_max_b"])
+        return (k[1] >= gates["band_min_rows"]
+                and b <= gates["unpool_band_max_b"])
     band_w = gates["band_w"]
     t_banded_ms = 0.0
     n_banded_ops = 0

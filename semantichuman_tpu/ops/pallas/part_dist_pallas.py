@@ -18,14 +18,14 @@ contracts the coefficient matrix against rp rows on the MXU:
 
 — no scatter, one matmul per tile.
 
-Two VJP strategies (SH_TPU_DIST_ONEPASS env, default the r2 two-kernel
-design; on-chip A/B queued in docs/TUNNEL_RECOVERY_RUNBOOK.md):
-  * two-kernel (default): the backward kernel RECOMPUTES w/de/mask/de_r
+Two VJP strategies (SH_TPU_DIST_ONEPASS env; default one-pass since the
+r4 on-chip A/B measured -25.1 ms/step at B=128, see _one_pass_grad):
+  * two-kernel (=0): the backward kernel RECOMPUTES w/de/mask/de_r
     from the stashed inputs — minimal residual memory, but the kernel is
     VPU-bound and the ~20 vector passes run twice per branch;
-  * one-pass (=1): the gradient is linear in the upstream cotangent, so
-    the forward kernel also emits the UNSCALED gradient g0 and the VJP is
-    one elementwise g0·ct multiply — the recompute disappears for
+  * one-pass (default): the gradient is linear in the upstream cotangent,
+    so the forward kernel also emits the UNSCALED gradient g0 and the VJP
+    is one elementwise g0·ct multiply — the recompute disappears for
     O(B·Σn·128) f32 of streaming residual traffic.
 
 Numerical divergences from the jnp path (documented, both intentional):
@@ -335,13 +335,16 @@ def _fwd_grad_call(vp_stack, rp_stack, bone_stack, a_stack, n_real, allone,
 
 def _one_pass_grad() -> bool:
     """VJP strategy: True = the fwd kernel also emits the unscaled gradient
-    (no backward recompute); False = the r2 two-kernel design.  Env-gated
-    pending the on-chip A/B (docs/TUNNEL_RECOVERY_RUNBOOK.md): the one-pass
-    form trades the backward kernel's ~20 VPU passes for streaming g0
-    traffic — CPU-interpret tests prove both paths exact vs the jnp
-    formulation either way."""
+    (no backward recompute); False = the r2 two-kernel design.  The
+    one-pass form trades the backward kernel's ~20 VPU passes for streaming
+    g0 traffic — CPU-interpret tests prove both paths exact vs the jnp
+    formulation either way.  ADOPTED as the default after the r4 on-chip
+    A/B (v5e, B=128 full step, back-to-back benches): 549.9 -> 616.3
+    meshes/s = -25.1 ms/step, 88% of the derived 28.7 ms prediction
+    (benchmarks/dist_loss_roofline.py) and above the 23.9 ms adoption bar.
+    SH_TPU_DIST_ONEPASS=0 restores the two-kernel VJP."""
     import os
-    return os.environ.get("SH_TPU_DIST_ONEPASS", "0") == "1"
+    return os.environ.get("SH_TPU_DIST_ONEPASS", "1") == "1"
 
 
 def _vjp_fwd(vp_stack, rp_stack, bone_stack, a_stack, n_real, allone,

@@ -64,13 +64,34 @@ def _onehot_ok(b, vf1: int) -> bool:
             and vf1 >= _ONEHOT_MIN_ROWS and jax.default_backend() in ("tpu", "axon"))
 
 
-def _banded_ok() -> bool:
-    """Trace-time dispatch for the block-banded sampling paths: which
-    levels carry a band is decided where tables are built (models/tables);
-    the measured small-batch one-hot adoption takes precedence, so banding
-    engages where one-hot was rejected — large batch — and only on the TPU
-    backends whose gather row floor motivated it."""
-    return jax.default_backend() in ("tpu", "axon")
+# measured adoption region of the banded sampling forms (r4 on-chip probe,
+# benchmarks/banded_gather_probe.py, fwd+bwd vs take at c=16):
+#   unpool: B=128 L0 1.80x, L1 1.62x -> ADOPT; B=384 L0 1.00x, L1 1.16x
+#     (below the 1.2x bar) -> capped at 128.  Small batch stays one-hot
+#     (dispatch order).
+#   pool:   B=128 0.40x/0.90x, B=384 0.32x/0.56x -> REJECTED at every
+#     measured batch (pool gathers 1 row/output — the take is already
+#     near its floor and the selection matmul only adds FLOPs).
+_UNPOOL_BAND_MAX_B = 128
+
+
+def _unpool_band_ok(b) -> bool:
+    """Trace-time dispatch for the block-banded unpool path: which levels
+    carry a band is decided where tables are built (models/tables); the
+    measured small-batch one-hot adoption takes precedence (dispatch
+    order), so banding engages in the measured mid-batch window only —
+    see _UNPOOL_BAND_MAX_B above — and only on the TPU backends whose
+    gather row floor motivated it.  Needs a concrete int batch
+    (symbolic-batch serving exports fall through to take)."""
+    return (isinstance(b, int) and b <= _UNPOOL_BAND_MAX_B
+            and jax.default_backend() in ("tpu", "axon"))
+
+
+def _pool_band_ok(b) -> bool:
+    """Banded pool is measured-REJECTED at every probed batch (see the
+    table above): the production gate never routes to it.  The form and
+    its tests remain as the reproducible record (tests force this gate)."""
+    return False
 
 
 def pool_dense(x: jnp.ndarray, pool_idx: jnp.ndarray) -> jnp.ndarray:
@@ -119,7 +140,7 @@ def pool(x: jnp.ndarray, pool_idx: jnp.ndarray, band=None) -> jnp.ndarray:
     b, vf1, _ = x.shape
     if _onehot_ok(b, vf1):
         return pool_dense(x, pool_idx)
-    if band is not None and _banded_ok():
+    if band is not None and _pool_band_ok(b):
         return pool_banded(x, pool_idx, band)
     return pool_take(x, pool_idx)
 
@@ -187,6 +208,6 @@ def unpool(x: jnp.ndarray, unpool_idx: jnp.ndarray,
     vf1 = unpool_idx.shape[0]
     if _onehot_ok(b, vf1):
         return unpool_dense(x, unpool_idx, unpool_w)
-    if band is not None and _banded_ok():
+    if band is not None and _unpool_band_ok(b):
         return unpool_banded(x, unpool_idx, unpool_w, band)
     return unpool_take(x, unpool_idx, unpool_w)

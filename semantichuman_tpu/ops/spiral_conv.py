@@ -42,6 +42,14 @@ ACTIVATIONS = {
 # the same gates the dispatcher runs
 _ONEHOT_MAX_B = 16
 _ONEHOT_MAX_V1 = 2048
+# measured adoption region of the block-banded conv form (r4 on-chip probe,
+# benchmarks/banded_gather_probe.py): banding wins at SMALL batch only —
+# the selection-matmul FLOPs scale with batch, the gather row floor does
+# not.  Fwd+bwd speedups vs the production take dispatcher at the fine
+# levels (bf16 / f32): B=12 L0(3,16) 5.54x/5.28x, L0(16,16) 3.07x/2.71x,
+# L1(16,32) 2.26x/2.09x, L1(32,32) 1.96x/1.79x; B=128 0.27-0.72x,
+# B=384 0.16-0.45x — REJECTED at large batch.
+_BANDED_MAX_B = 16
 
 
 def _onehot_ok(b, v1: int) -> bool:
@@ -57,13 +65,18 @@ def _onehot_ok(b, v1: int) -> bool:
             and jax.default_backend() in ("tpu", "axon"))
 
 
-def _banded_ok() -> bool:
+def _banded_ok(b) -> bool:
     """Trace-time dispatch for the block-banded fine-level path: which
     levels carry a band is decided where tables are built (models/tables);
-    here the path engages only on the TPU backends it was designed and
-    measured for (the gather row floor is a TPU-engine property; on CPU or
-    GPU dense selection matmuls are unproven and take is exactly equal)."""
-    return jax.default_backend() in ("tpu", "axon")
+    here the path engages only at the measured-profitable SMALL batches
+    (see _BANDED_MAX_B — at large batch the selection-matmul FLOPs outgrow
+    the row floor and take wins) and only on the TPU backends it was
+    designed and measured for (the gather row floor is a TPU-engine
+    property; on CPU or GPU dense selection matmuls are unproven and take
+    is exactly equal).  Needs a concrete int batch: symbolic-batch serving
+    exports fall through to the shape-polymorphic gather."""
+    return (isinstance(b, int) and b <= _BANDED_MAX_B
+            and jax.default_backend() in ("tpu", "axon"))
 
 
 def spiral_gather(x: jnp.ndarray, spiral_idx: jnp.ndarray) -> jnp.ndarray:
@@ -242,7 +255,7 @@ def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
     if _onehot_ok(b, v1):
         return spiral_conv_onehot(x, spiral_idx, w, bias, activation,
                                   compute_dtype)
-    if band is not None and _banded_ok():
+    if band is not None and _banded_ok(b):
         return spiral_conv_banded(x, spiral_idx, band, w, bias, activation,
                                   compute_dtype)
     return spiral_conv_take(x, spiral_idx, w, bias, activation,

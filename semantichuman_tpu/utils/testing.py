@@ -36,8 +36,9 @@ def band_gate_patches():
         (banding_mod, "UNPOOL_BAND_PRESETS", _SMALL_PRESETS),
         (banding_mod, "POOL_BAND_PRESETS", _SMALL_PRESETS),
         (banding_mod, "MAX_OOB_FRAC", 1.0),
-        (sconv_mod, "_banded_ok", lambda: True),
-        (sampling_mod, "_banded_ok", lambda: True),
+        (sconv_mod, "_banded_ok", lambda *a: True),
+        (sampling_mod, "_pool_band_ok", lambda *a: True),
+        (sampling_mod, "_unpool_band_ok", lambda *a: True),
     ]
 
 

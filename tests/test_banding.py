@@ -149,12 +149,12 @@ def test_banded_dispatch_gated_off_on_cpu(monkeypatch):
     args = (jnp.asarray(x), jnp.asarray(sp), jnp.asarray(w),
             jnp.asarray(bias))
 
-    assert not SC._banded_ok()
+    assert not SC._banded_ok(4)
     out_cpu = SC.spiral_conv(*args, "elu", band=spec)
     ref = SC.spiral_conv_take(*args, "elu")
     np.testing.assert_array_equal(np.asarray(out_cpu), np.asarray(ref))
 
-    monkeypatch.setattr(SC, "_banded_ok", lambda: True)
+    monkeypatch.setattr(SC, "_banded_ok", lambda *a: True)
     out_banded = SC.spiral_conv(*args, "elu", band=spec)
     np.testing.assert_array_equal(np.asarray(out_banded), np.asarray(ref))
 
@@ -231,7 +231,8 @@ def test_sampling_banded_dispatch_order(monkeypatch):
     calls = []
     monkeypatch.setattr(S, "_onehot_ok",
                         lambda b, v: calls.append("oh_gate") or b <= 16)
-    monkeypatch.setattr(S, "_banded_ok", lambda: True)
+    monkeypatch.setattr(S, "_pool_band_ok", lambda *a: True)
+    monkeypatch.setattr(S, "_unpool_band_ok", lambda *a: True)
     monkeypatch.setattr(S, "pool_dense",
                         lambda x, i: calls.append("dense") or S.pool_take(x, i))
     monkeypatch.setattr(S, "pool_banded",
@@ -299,7 +300,7 @@ def test_spiral_conv_auto_accepts_band(monkeypatch):
     args = (jnp.asarray(x), jnp.asarray(sp), jnp.asarray(w),
             jnp.asarray(bias))
     ref = SC.spiral_conv_take(*args, "elu")
-    monkeypatch.setattr(SC, "_banded_ok", lambda: True)
+    monkeypatch.setattr(SC, "_banded_ok", lambda *a: True)
     got = spiral_conv_auto(*args, "elu", band=spec)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
@@ -358,9 +359,10 @@ def test_banded_model_forward_matches(small_hierarchy, small_human,
     assert any(b is not None for b in banded.bands)
     assert any(b is not None for b in banded.pool_bands)
     assert any(b is not None for b in banded.unpool_bands)
-    monkeypatch.setattr(SC, "_banded_ok", lambda: True)
+    monkeypatch.setattr(SC, "_banded_ok", lambda *a: True)
     from semantichuman_tpu.ops import sampling as sampling_mod
-    monkeypatch.setattr(sampling_mod, "_banded_ok", lambda: True)
+    monkeypatch.setattr(sampling_mod, "_pool_band_ok", lambda *a: True)
+    monkeypatch.setattr(sampling_mod, "_unpool_band_ok", lambda *a: True)
 
     kw = dict(filters_enc=[[3, 8, 8, 16, 16], [[]] * 5],
               filters_dec=[[16, 16, 8, 8, 8], [[], [], [], [], 3]])
