@@ -46,8 +46,14 @@ class ModelConfig:
     use_pallas: bool = True
     # block-banded one-hot spiral gather at the fine levels (ops/banding.py):
     # exploits spiral locality to turn the gather row floor into MXU
-    # matmuls; pending on-chip measurement, off by default
-    banded_conv: bool = False
+    # matmuls.  ON by default since the r4 on-chip probe: the dispatch
+    # gates route banding only where measured profitable (conv b<=16 at
+    # 2.0-5.5x, unpool b<=128 at 1.6-1.8x — docs/BENCHMARKS.md "The r4
+    # on-chip probe day"), and at every other shape the program is
+    # bit-identical to banded_conv=false (compile-cache-hit-verified at
+    # the B=128 headline), so the flag only ever changes dispatch where
+    # the chip said yes.
+    banded_conv: bool = True
 
 
 @dataclass

@@ -46,8 +46,8 @@ _ONEHOT_MAX_V1 = 2048
 # benchmarks/banded_gather_probe.py): banding wins at SMALL batch only —
 # the selection-matmul FLOPs scale with batch, the gather row floor does
 # not.  Fwd+bwd speedups vs the production take dispatcher at the fine
-# levels (bf16 / f32): B=12 L0(3,16) 5.54x/5.28x, L0(16,16) 3.07x/2.71x,
-# L1(16,32) 2.26x/2.09x, L1(32,32) 1.96x/1.79x; B=128 0.27-0.72x,
+# levels (bf16 / f32): B=12 L0(3,16) 5.54x/5.28x, L0(16,16) 3.07x/2.87x,
+# L1(16,32) 2.26x/2.59x, L1(32,32) 1.96x/2.23x; B=128 0.27-0.73x,
 # B=384 0.16-0.45x — REJECTED at large batch.
 _BANDED_MAX_B = 16
 
