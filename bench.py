@@ -152,10 +152,15 @@ def main():
     # fp32 trunk to 6 decimals under --xla_allow_excess_precision)
     dtype = os.environ.get("SH_TPU_BENCH_DTYPE", "bfloat16")
     overrides = {"trunk_dtype": dtype}
-    if os.environ.get("SH_TPU_BENCH_BANDED") == "1":
+    banded_env = os.environ.get("SH_TPU_BENCH_BANDED")
+    if banded_env == "1":
         # A/B knob for the block-banded trunk (ops/banding.py): build the
         # band tables and let the TPU-gated dispatch use them
         overrides["banded_conv"] = True
+    elif banded_env == "0":
+        # force banding OFF (the ModelConfig default is now True, so this
+        # is the only way to A/B the banded unpool at mid batches)
+        overrides["banded_conv"] = False
     cfg, sh, assets, hier, model, tables = _build(
         cache_path=cache, model_overrides=overrides)
 

@@ -54,16 +54,28 @@ BW_EFF_GBS_TYP = 120.0      # typical measured (production layout)
 
 # measured non-trunk piece times at B=128 (docs/BENCHMARKS.md "Step
 # composition"): the weighted-distance losses are VPU-compute-bound and
-# the part-volume loss is small; neither moves spiral rows.
-MEASURED_LOSS_MS = 72.9
+# the part-volume loss is small; neither moves spiral rows.  The loss
+# term is keyed on the shipped one-pass-VJP gate (SH_TPU_DIST_ONEPASS,
+# default on): two-kernel measured 72.9 ms; one-pass = 72.9 minus the
+# r4 on-chip A/B's -25.1 ms/step (232.8 -> 207.7 ms back-to-back benches,
+# docs/BENCHMARKS.md "One-pass distance-loss VJP").
+MEASURED_LOSS_MS_TWO_KERNEL = 72.9
+MEASURED_LOSS_MS_ONE_PASS = 47.8
+MEASURED_LOSS_MS = (
+    MEASURED_LOSS_MS_TWO_KERNEL
+    if os.environ.get("SH_TPU_DIST_ONEPASS", "1") == "0"
+    else MEASURED_LOSS_MS_ONE_PASS)
 MEASURED_VOL_MS = 3.1
 # bench.py roofline: 5.43 GFLOP/mesh; v5e bf16 peak 197 TFLOP/s
 GFLOP_PER_MESH = 5.43
 PEAK_TFLOPS = 197.0
 
 STEP_MS_ACHIEVED = {
-    128: 1000.0 * 128 / 556.8,   # r3 headline bench
-    4: 3500.0 / 64,              # paper recipe: 3.5 s/epoch / 64 steps (r3)
+    128: 1000.0 * 128 / 625.0,   # r4 driver headline (BENCH_r04.json)
+    64: 1000.0 * 64 / 444.56,    # r4 bench sweep
+    256: 1000.0 * 256 / 556.1,   # r4 bench sweep
+    4: 2200.0 / 64,              # paper recipe: 2.2 s/epoch / 64 steps
+                                 # (r4 banded run, results/r4_tpu/paper_banded.out)
 }
 
 

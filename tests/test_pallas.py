@@ -76,19 +76,24 @@ def _dist_case(small_human):
     return tables, tx, rec, kps, a_full, edited
 
 
+@pytest.mark.parametrize("onepass", ["0", "1"])
 @pytest.mark.parametrize("w_mode,w_part_mode,relat,leafkeep,with_a", [
     ("threshold", "1/K", True, True, True),
     ("linear", "n/N", False, True, False),
     ("sin", "1/K", True, False, True),
     ("all_one", "1/rand_num", True, True, True),
 ])
-def test_fused_dist_matches_jnp(_interpret_part_dist, _dist_case, w_mode,
-                                w_part_mode, relat, leafkeep, with_a):
+def test_fused_dist_matches_jnp(_interpret_part_dist, _dist_case,
+                                monkeypatch, w_mode, w_part_mode, relat,
+                                leafkeep, with_a, onepass):
     """Fused kernel (interpret mode) == jnp path: loss value AND grad wrt
-    the reconstruction, across the w_mode x w_part_mode matrix."""
+    the reconstruction, across the w_mode x w_part_mode matrix — under
+    BOTH VJP designs (SH_TPU_DIST_ONEPASS=1 is the shipped default;
+    =0 is the documented two-kernel escape hatch and must stay pinned)."""
     import jax
     from semantichuman_tpu.train import losses as L
     tables, tx, rec, kps, a_full, edited = _dist_case
+    monkeypatch.setenv("SH_TPU_DIST_ONEPASS", onepass)
 
     def loss(rec_j, fused):
         return L.weighted_distance_loss(

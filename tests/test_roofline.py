@@ -42,8 +42,8 @@ def test_summarize_single_conv(rl):
     assert s["bound_full_step_ms"] == pytest.approx(want_full, abs=0.01)
     assert s["bound_full_step_mps"] == pytest.approx(
         128 / want_full * 1e3, abs=0.5)
-    # achieved comparison present for the headline batch
-    assert s["achieved_mps"] == 556.8
+    # achieved comparison present for the headline batch (r4 driver bench)
+    assert s["achieved_mps"] == 625.0
 
 
 def test_summarize_bandwidth_regime(rl):
@@ -59,18 +59,21 @@ def test_summarize_bandwidth_regime(rl):
 
 def test_banded_ceiling_monotone(rl):
     """The banded predicted ceiling must beat the gather bound whenever the
-    selection-matmul FLOPs are small relative to the gather traffic (the
-    production regime)."""
+    gate routes banding — the r4-measured region is SMALL batch (conv cap
+    `_BANDED_MAX_B`), where the row floor dominates and the selection
+    matmul is cheap."""
     rec = [dict(kind="conv", v1=6893, s=15, rows=103_395, c=16, src1=6893,
-                bc=384 * 16, bytes_per_row=384 * 16 * 2)]
-    s = rl.summarize(rec, 128)
+                bc=16 * 16, bytes_per_row=16 * 16 * 2)]
+    s = rl.summarize(rec, 16)
+    assert s["n_banded_ops"] == 1
     assert s["banded_gather_bound_ms"] < s["t_two_regime_gather_bound_ms"]
 
 
 def test_banded_ceiling_dispatch_aware(rl):
-    """Only ops the production table builder bands (models/tables.py:
-    conv V1>=2049, sampling fine rows>=512) get the selection-matmul
-    ceiling; a coarse conv keeps its two-regime gather cost."""
+    """The ceiling models the SHIPPED dispatch (r4 on-chip caps): a fine
+    conv at B=128 stays on the take path (banding refuted above
+    `_BANDED_MAX_B`=16), a coarse conv never bands (V1 < BAND_MIN_V1),
+    and an unpool bands up to `_UNPOOL_BAND_MAX_B`=128 but not above."""
     coarse = [dict(kind="conv", v1=1724, s=8, rows=13_792, c=32, src1=1724,
                    bc=128 * 32, bytes_per_row=128 * 32 * 2)]
     s = rl.summarize(coarse, 128)
@@ -80,8 +83,18 @@ def test_banded_ceiling_dispatch_aware(rl):
     fine = [dict(kind="conv", v1=6893, s=15, rows=103_395, c=16, src1=6893,
                  bc=128 * 16, bytes_per_row=128 * 16 * 2)]
     s2 = rl.summarize(fine, 128)
-    assert s2["n_banded_ops"] == 1
-    assert s2["banded_gather_bound_ms"] < s2["t_two_regime_gather_bound_ms"]
+    assert s2["n_banded_ops"] == 0
+    assert s2["banded_gather_bound_ms"] == pytest.approx(
+        s2["t_two_regime_gather_bound_ms"], rel=1e-6)
+    unpool = [dict(kind="unpool", v1=6893, s=3, rows=6893 * 3, c=16,
+                   src1=3447, bc=128 * 16, bytes_per_row=128 * 16 * 4)]
+    s3 = rl.summarize(unpool, 128)
+    assert s3["n_banded_ops"] == 1
+    assert s3["banded_gather_bound_ms"] < s3["t_two_regime_gather_bound_ms"]
+    big = [dict(kind="unpool", v1=6893, s=3, rows=6893 * 3, c=16,
+                src1=3447, bc=384 * 16, bytes_per_row=384 * 16 * 4)]
+    s4 = rl.summarize(big, 384)
+    assert s4["n_banded_ops"] == 0
 
 
 def test_unpool_matmul_rows_fold_taps(rl):

@@ -1,8 +1,9 @@
 """Digest the r4 tunnel-recovery runner's outputs into decision tables.
 
 The auto-runner (tools/tunnel_recovery_runner.sh) only COLLECTS numbers
-into results/r4_tpu/; this tool turns them into the runbook's decisions
-(docs/TUNNEL_RECOVERY_RUNBOOK.md): per-cell banded speedups vs the 1.2x
+into results/r4_tpu/; this tool turns them into the r4 measurement
+queue's decisions (queue now drained, runbook deleted per its own last
+line): per-cell banded speedups vs the 1.2x
 adoption bar, the one-pass-VJP A/B vs its derived 28.7 ms bar
 (benchmarks/dist_loss_roofline.py), the full-step banded A/B vs the
 153.2 ms roofline ceiling, the headline vs 556.8 m/s, and the fast-recipe
@@ -202,6 +203,60 @@ def main(argv=None):
                            f"with seed {seed} = {mm} mm")
         else:
             print(f"[8] fast-recipe seed {seed}: no curve yet")
+
+    # [9] extra on-the-fly banding cell at the trainer's interp batch
+    # (f32, B=12, L1 only — queued to settle the f32 small-batch gate)
+    extra = _json_lines(os.path.join(d, "f32_b12_L1.out"))
+    if extra:
+        clines, cwin = conv_decisions(extra)
+        print(f"[9] f32 B=12 L1 banding cell ({len(extra)} cells):")
+        for ln in clines:
+            print("   ", ln)
+        if cwin:
+            actions.append(
+                f"f32 B=12 banding at bar ({sorted(set(cwin))}): the "
+                "small-batch conv gate generalizes to f32 — keep "
+                "_BANDED_MAX_B dtype-independent")
+    else:
+        print("[9] f32 B=12 L1 cell: no result yet")
+
+    # [10] banded paper-recipe epoch time (banded_conv default live)
+    pb = os.path.join(d, "paper_banded.out")
+    if os.path.exists(pb):
+        epochs = [ln for ln in open(pb) if ln.startswith("epoch ")]
+        secs = [float(ln.rsplit("|", 1)[1].strip().rstrip("s"))
+                for ln in epochs[1:]]  # skip compile epoch
+        curves = [json.loads(ln[len("CURVE "):]) for ln in open(pb)
+                  if ln.startswith("CURVE ")]
+        if secs:
+            print(f"[10] banded paper recipe: steady-state "
+                  f"{min(secs):.1f} s/epoch over {len(secs)} epochs"
+                  + (f", final {curves[-1]['mm']} mm" if curves else ""))
+            actions.append(
+                "record the banded paper run (epoch time + final mm) in "
+                "docs/BENCHMARKS.md; if the final sits outside the "
+                "documented equivalence spread, re-run at N>=2 before "
+                "keeping banded_conv as the config default")
+    else:
+        print("[10] banded paper recipe: no result yet")
+
+    # [11] end-of-round driver bench (post-seed-runs confirmation)
+    final = _bench_value(os.path.join(d, "bench_final.out"))
+    if final:
+        print(f"[11] final bench: {final['value']} m/s "
+              f"(sweep {final.get('sweep_meshes_per_sec_by_batch')})")
+    else:
+        print("[11] final bench: no result yet")
+
+    # [12] runner/queue logs: surface any non-zero rc
+    for logname in ("runner.log", "queue2.log"):
+        p = os.path.join(d, logname)
+        if not os.path.exists(p):
+            continue
+        bad = [ln.strip() for ln in open(p)
+               if " END " in ln and "rc=0" not in ln]
+        status = "all rc=0" if not bad else f"FAILURES: {bad}"
+        print(f"[12] {logname}: {status}")
 
     if actions:
         print("\n== recommended actions ==")

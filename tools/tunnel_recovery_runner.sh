@@ -1,6 +1,6 @@
 #!/bin/bash
 # r4 tunnel-recovery auto-runner: wait for the TPU tunnel, then drain the
-# measurement queue (docs/TUNNEL_RECOVERY_RUNBOOK.md) in priority order,
+# measurement queue (r4; runbook since drained and deleted) in priority order,
 # logging every step to results/r4_tpu/.  Adoption decisions stay manual —
 # this only collects numbers.  One instance only (PID file).
 set -u
