@@ -75,14 +75,22 @@ _LANES = 128
 # are mirrored, and tests/test_dist_roofline.py pins them equal to the real
 # interpret-mode kernels so drift cannot go unnoticed.
 
+def _resolve_fast(fast_acos, w_mode, w_threshold):
+    from semantichuman_tpu.ops.pallas import part_dist_pallas as pd
+    if fast_acos is None:       # mirror the kernel call sites' env resolution
+        return pd._use_fast_acos(w_mode, w_threshold)
+    return fast_acos
+
+
 def _mirror_fwd(vp, rp, bone, n_real, allone, a, *, n_pad, w_mode,
-                w_threshold, relat):
+                w_threshold, relat, fast_acos=None):
     import jax.numpy as jnp
 
     from semantichuman_tpu.ops.pallas import part_dist_pallas as pd
-    w, de, mask = pd._weights_de_mask(vp, bone, n_real, allone, a,
-                                      n_pad=n_pad, w_mode=w_mode,
-                                      w_threshold=w_threshold)
+    w, de, mask = pd._weights_de_mask(
+        vp, bone, n_real, allone, a, n_pad=n_pad, w_mode=w_mode,
+        w_threshold=w_threshold,
+        fast_acos=_resolve_fast(fast_acos, w_mode, w_threshold))
     de_r = jnp.where(mask, pd._pair_dists(rp), 0.0)
     if relat:
         de_safe = jnp.where(mask, de, 1.0)
@@ -94,14 +102,15 @@ def _mirror_fwd(vp, rp, bone, n_real, allone, a, *, n_pad, w_mode,
 
 
 def _mirror_bwd(vp, rp, bone, n_real, allone, a, ct, *, n_pad, w_mode,
-                w_threshold, relat):
+                w_threshold, relat, fast_acos=None):
     import jax
     import jax.numpy as jnp
 
     from semantichuman_tpu.ops.pallas import part_dist_pallas as pd
-    w, de, mask = pd._weights_de_mask(vp, bone, n_real, allone, a,
-                                      n_pad=n_pad, w_mode=w_mode,
-                                      w_threshold=w_threshold)
+    w, de, mask = pd._weights_de_mask(
+        vp, bone, n_real, allone, a, n_pad=n_pad, w_mode=w_mode,
+        w_threshold=w_threshold,
+        fast_acos=_resolve_fast(fast_acos, w_mode, w_threshold))
     de_r = pd._pair_dists(rp)
     if relat:
         de_safe = jnp.where(mask, de, 1.0)
@@ -117,23 +126,25 @@ def _mirror_bwd(vp, rp, bone, n_real, allone, a, ct, *, n_pad, w_mode,
 
 
 def _mirror_fwd_grad(vp, rp, bone, n_real, allone, a, *, n_pad, w_mode,
-                     w_threshold, relat):
+                     w_threshold, relat, fast_acos=None):
     import jax
     import jax.numpy as jnp
 
     from semantichuman_tpu.ops.pallas import part_dist_pallas as pd
-    w, de, mask = pd._weights_de_mask(vp, bone, n_real, allone, a,
-                                      n_pad=n_pad, w_mode=w_mode,
-                                      w_threshold=w_threshold)
+    w, de, mask = pd._weights_de_mask(
+        vp, bone, n_real, allone, a, n_pad=n_pad, w_mode=w_mode,
+        w_threshold=w_threshold,
+        fast_acos=_resolve_fast(fast_acos, w_mode, w_threshold))
     de_r0 = pd._pair_dists(rp)
-    de_r = jnp.where(mask, de_r0, 0.0)
     if relat:
         de_safe = jnp.where(mask, de, 1.0)
-        term = jnp.abs(w * (de_r / de_safe) - w)
-        g = (w / de_safe) * jnp.sign(w * (de_r0 / de_safe) - w)
+        q = w * (de_r0 / de_safe) - w
+        term = jnp.abs(q)
+        g = (w / de_safe) * jnp.sign(q)
     else:
-        term = jnp.abs(w * de_r - w * de)
-        g = w * jnp.sign(w * de_r0 - w * de)
+        q = w * de_r0 - w * de
+        term = jnp.abs(q)
+        g = w * jnp.sign(q)
     term = jnp.where(mask, term, 0.0)
     g = jnp.where(mask, g, 0.0)
     coef = jnp.where(de_r0 > 0.0, g / jnp.where(de_r0 > 0.0, de_r0, 1.0),
@@ -201,9 +212,11 @@ def count_ops(fn, *args):
 
 
 def tile_counts(n_pad: int, w_mode: str, relat: bool = True,
-                w_threshold: float = 0.8):
+                w_threshold: float = 0.8, fast_acos: bool = False):
     """Op inventory of one (part, batch-element) tile for each kernel
-    variant at tile height n_pad."""
+    variant at tile height n_pad.  fast_acos=False is the calibration form
+    (the form MEASURED_FWD_MS was measured on); True inventories the r5
+    threshold fast path for the forward prediction."""
     import jax
     import jax.numpy as jnp
 
@@ -215,7 +228,7 @@ def tile_counts(n_pad: int, w_mode: str, relat: bool = True,
     nr, ao = i32(()), i32(())
     a, ct = f32(()), f32(())
     kw = dict(n_pad=n_pad, w_mode=w_mode, w_threshold=w_threshold,
-              relat=relat)
+              relat=relat, fast_acos=fast_acos)
     mk = jax.eval_shape  # noqa: F841  (shapes only — count_ops re-traces)
     return dict(
         fwd=count_ops(functools.partial(_mirror_fwd, **kw),
@@ -254,10 +267,10 @@ def summarize(buckets, batch: int, measured_fwd_ms=None,
     measured_fwd_ms = measured_fwd_ms or MEASURED_FWD_MS
 
     # per-variant totals for ONE loss invocation (every part, B tiles each)
-    def invocation(kind: str, w_mode: str):
+    def invocation(kind: str, w_mode: str, fast_acos: bool = False):
         ops = flops = 0
         for n_pad, pc in buckets:
-            c = tile_counts(n_pad, w_mode)[kind]
+            c = tile_counts(n_pad, w_mode, fast_acos=fast_acos)[kind]
             ops += pc * batch * c["vpu_elem_ops"]
             flops += pc * batch * c["mxu_flops"]
         return ops, flops
@@ -278,6 +291,11 @@ def summarize(buckets, batch: int, measured_fwd_ms=None,
     ops_fwd, _ = inv["threshold"]
     ops_bwd, flops_bwd = invocation("bwd", "threshold")
     ops_fg, flops_fg = invocation("fwd_grad", "threshold")
+    # the r5 threshold fast path (SH_TPU_DIST_FASTACOS): same one-pass
+    # kernel, arcsin range reduction dropped — calibration stays on the
+    # fast_acos=False counts (the form MEASURED_FWD_MS was measured on)
+    ops_fg_fast, flops_fg_fast = invocation("fwd_grad", "threshold",
+                                            fast_acos=True)
 
     def ms(ops):
         return ops / r_cal * 1e3
@@ -298,6 +316,8 @@ def summarize(buckets, batch: int, measured_fwd_ms=None,
         ms(ops_fwd) + ms(ops_bwd) + mxu_ms(flops_bwd))
     step_one_pass_ms = N_BRANCHES * (
         ms(ops_fg) + mxu_ms(flops_fg) + t_g0_ms)
+    step_one_pass_fast_ms = N_BRANCHES * (
+        ms(ops_fg_fast) + mxu_ms(flops_fg_fast) + t_g0_ms)
 
     return dict(
         batch=batch,
@@ -324,6 +344,12 @@ def summarize(buckets, batch: int, measured_fwd_ms=None,
         # the one-pass prediction (the queued on-chip A/B's bar)
         step_loss_one_pass_ms=round(step_one_pass_ms, 1),
         one_pass_saving_ms=round(step_two_kernel_ms - step_one_pass_ms, 1),
+        # r5 levers: q-dedup is already inside the fwd_grad mirror (it is
+        # the shipped kernel); fast_acos drops the arcsin range reduction
+        vpu_ops_fwd_grad_fast=ops_fg_fast,
+        step_loss_one_pass_fast_ms=round(step_one_pass_fast_ms, 1),
+        fast_acos_saving_ms=round(step_one_pass_ms - step_one_pass_fast_ms,
+                                  1),
         g0_stream_gb_per_invocation=round(g0_gb, 3),
         g0_stream_ms_per_invocation=round(t_g0_ms, 2),
     )

@@ -61,10 +61,16 @@ BW_EFF_GBS_TYP = 120.0      # typical measured (production layout)
 # docs/BENCHMARKS.md "One-pass distance-loss VJP").
 MEASURED_LOSS_MS_TWO_KERNEL = 72.9
 MEASURED_LOSS_MS_ONE_PASS = 47.8
-MEASURED_LOSS_MS = (
-    MEASURED_LOSS_MS_TWO_KERNEL
-    if os.environ.get("SH_TPU_DIST_ONEPASS", "1") == "0"
-    else MEASURED_LOSS_MS_ONE_PASS)
+# r5 pass-reduction levers (q-dedup + threshold acos fast path,
+# SH_TPU_DIST_FASTACOS default on): the back-to-back A/B measured the full
+# step 204.8 -> 200.3 ms, so the loss term shrinks by the same 4.5 ms
+MEASURED_LOSS_MS_ONE_PASS_FAST = 43.3
+if os.environ.get("SH_TPU_DIST_ONEPASS", "1") == "0":
+    MEASURED_LOSS_MS = MEASURED_LOSS_MS_TWO_KERNEL
+elif os.environ.get("SH_TPU_DIST_FASTACOS", "1") == "0":
+    MEASURED_LOSS_MS = MEASURED_LOSS_MS_ONE_PASS
+else:
+    MEASURED_LOSS_MS = MEASURED_LOSS_MS_ONE_PASS_FAST
 MEASURED_VOL_MS = 3.1
 # bench.py roofline: 5.43 GFLOP/mesh; v5e bf16 peak 197 TFLOP/s
 GFLOP_PER_MESH = 5.43

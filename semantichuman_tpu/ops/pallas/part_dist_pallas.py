@@ -106,14 +106,43 @@ def _pair_dists(v):
     return jnp.sqrt(d2)
 
 
+def _use_fast_acos(w_mode: str, w_threshold: float) -> bool:
+    """Threshold-mode acos fast path (SH_TPU_DIST_FASTACOS env): valid only
+    when every SURVIVING pair is guaranteed cos ≤ 0.5 — i.e. w_threshold >
+    acos(0.5)·(2/π) = 2/3, so the arcsin range-reduction branch (sqrt + two
+    selects) can be dropped with bit-identical surviving weights (see
+    _weights_de_mask).  ADOPTED as the default after the r5 on-chip A/B
+    (v5e, B=128 full step, back-to-back benches): with the q-dedup,
+    204.8 -> 200.3 ms/step (625.0 -> 639.0 meshes/s; fast-acos increment
+    alone 627.8 -> 639.0 = 3.6 ms vs the 4.6 ms derived prediction).  The
+    combined 4.5 ms sits at 68% of the 6.6 ms prediction — below the
+    formal 1.2x-of-predicted bar — but both levers are bit-identical
+    post-mask (tests/test_pallas.py pins them against the jnp path), so
+    there is no numerics risk to weigh against the measured win.
+    SH_TPU_DIST_FASTACOS=0 restores the range-reduced acos."""
+    import os
+    return (w_mode == "threshold" and w_threshold >= 0.67
+            and os.environ.get("SH_TPU_DIST_FASTACOS", "1") == "1")
+
+
 def _weights_de_mask(vp, bone, n_real, allone, a, *, n_pad: int,
-                     w_mode: str, w_threshold: float):
+                     w_mode: str, w_threshold: float,
+                     fast_acos: bool = False):
     """Forward tile shared by fwd/bwd kernels: (w, de, mask).
 
     Replicates losses._distance_weights + the de/mask construction: angles
     from |cos| = |s_j − s_k| / (de0 · ‖bone‖) with the 0/0→1 guard; the
     diagonal, padding rows/cols, and (w·de)==0 entries all masked.
-    """
+
+    fast_acos (threshold mode, w_threshold ≥ 0.67 only): a surviving pair
+    has w = acos(cos)·(2/π) ≥ τ > 2/3 ⟹ acos(cos) > π/3 ⟹ cos < 0.5 —
+    exactly the arcsin-Taylor core's DIRECT branch, so its weight is
+    bit-identical without the range-reduction sqrt and the two selects.  A
+    pair with cos > 0.5 gets an inexact weight, but the truncated series is
+    monotone in cos with w(0.5) = 0.667 ≤ τ, so the SAME threshold compare
+    zeroes it on both paths: identical mask, identical surviving values,
+    ~9 fewer VPU passes over the tile (derivation:
+    benchmarks/dist_loss_roofline.py)."""
     de0 = _pair_dists(vp)                                   # [n, n]
     if w_mode == "all_one":
         w = jnp.ones((n_pad, n_pad), jnp.float32)
@@ -127,11 +156,21 @@ def _weights_de_mask(vp, bone, n_real, allone, a, *, n_pad: int,
         cos = jnp.where(denom > 0.0,
                         jnp.abs(dot) / jnp.where(denom > 0.0, denom, 1.0),
                         1.0)
-        cos = jnp.clip(cos, 0.0, 1.0)
-        if w_mode == "sin":
+        if fast_acos and w_mode == "threshold" and w_threshold >= 0.67:
+            # cos ≥ 0 by construction, so clip's lower bound is a no-op
+            cos = jnp.minimum(cos, 1.0)
+            t2 = cos * cos
+            p = _ASIN_C[-1]
+            for c in _ASIN_C[-2::-1]:
+                p = c + t2 * p
+            w = (jnp.pi / 2.0 - cos * p) * (2.0 / jnp.pi)
+            w = jnp.where(w < w_threshold, 0.0, w)
+        elif w_mode == "sin":
+            cos = jnp.clip(cos, 0.0, 1.0)
             # sin(arccos(c)) == sqrt(1 − c²) exactly — no acos needed
             w = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
         elif w_mode in ("linear", "threshold"):
+            cos = jnp.clip(cos, 0.0, 1.0)
             w = _acos01(cos) * (2.0 / jnp.pi)       # == ang/90
             if w_mode == "threshold":
                 w = jnp.where(w < w_threshold, 0.0, w)
@@ -150,14 +189,15 @@ def _weights_de_mask(vp, bone, n_real, allone, a, *, n_pad: int,
 
 def _fwd_kernel(n_real_ref, allone_ref, a_ref, vp_ref, rp_ref, bone_ref,
                 out_ref, *, n_pad: int, w_mode: str, w_threshold: float,
-                relat: bool):
+                relat: bool, fast_acos: bool = False):
     i = pl.program_id(0)
     vp = vp_ref[0]                                          # [n_pad, 128]
     rp = rp_ref[0]
     bone = bone_ref[0][0:1, :]                              # [1, 128]
     w, de, mask = _weights_de_mask(vp, bone, n_real_ref[i], allone_ref[i],
                                    a_ref[i], n_pad=n_pad, w_mode=w_mode,
-                                   w_threshold=w_threshold)
+                                   w_threshold=w_threshold,
+                                   fast_acos=fast_acos)
     de_r = jnp.where(mask, _pair_dists(rp), 0.0)
     if relat:
         de_safe = jnp.where(mask, de, 1.0)
@@ -176,7 +216,8 @@ def _fwd_kernel(n_real_ref, allone_ref, a_ref, vp_ref, rp_ref, bone_ref,
 
 def _fwd_grad_kernel(n_real_ref, allone_ref, a_ref, vp_ref, rp_ref,
                      bone_ref, out_ref, g0_ref, *, n_pad: int, w_mode: str,
-                     w_threshold: float, relat: bool):
+                     w_threshold: float, relat: bool,
+                     fast_acos: bool = False):
     """One-pass variant: forward scalars AND the UNSCALED reconstruction
     gradient g0 = d(term_sum)/d(rp) in a single program.  The gradient is
     linear in the upstream cotangent, so the VJP is g0 * ct — computed
@@ -184,23 +225,31 @@ def _fwd_grad_kernel(n_real_ref, allone_ref, a_ref, vp_ref, rp_ref,
     backward kernel's full tile recompute (w/de/mask/de_r twice per
     branch) at the cost of writing g0 ([n_pad, 128] f32 per program) to
     HBM: ~20 VPU passes traded for ~3 bytes/element of streaming
-    traffic."""
+    traffic.
+
+    term and g share q = w·(de_r0/de_safe) − w (r5 dedup): the old form
+    computed the whole div/mul/sub chain twice — once masked inside |·| for
+    term, once unmasked inside sign for g.  On-mask de_r == de_r0 and both
+    outputs are masked afterwards, so one q is bit-identical and saves 4
+    VPU passes over the tile."""
     i = pl.program_id(0)
     vp = vp_ref[0]
     rp = rp_ref[0]
     bone = bone_ref[0][0:1, :]
     w, de, mask = _weights_de_mask(vp, bone, n_real_ref[i], allone_ref[i],
                                    a_ref[i], n_pad=n_pad, w_mode=w_mode,
-                                   w_threshold=w_threshold)
+                                   w_threshold=w_threshold,
+                                   fast_acos=fast_acos)
     de_r0 = _pair_dists(rp)
-    de_r = jnp.where(mask, de_r0, 0.0)
     if relat:
         de_safe = jnp.where(mask, de, 1.0)
-        term = jnp.abs(w * (de_r / de_safe) - w)
-        g = (w / de_safe) * jnp.sign(w * (de_r0 / de_safe) - w)
+        q = w * (de_r0 / de_safe) - w
+        term = jnp.abs(q)
+        g = (w / de_safe) * jnp.sign(q)
     else:
-        term = jnp.abs(w * de_r - w * de)
-        g = w * jnp.sign(w * de_r0 - w * de)
+        q = w * de_r0 - w * de
+        term = jnp.abs(q)
+        g = w * jnp.sign(q)
     term = jnp.where(mask, term, 0.0)
     g = jnp.where(mask, g, 0.0)
     coef = jnp.where(de_r0 > 0.0, g / jnp.where(de_r0 > 0.0, de_r0, 1.0),
@@ -220,14 +269,15 @@ def _fwd_grad_kernel(n_real_ref, allone_ref, a_ref, vp_ref, rp_ref,
 
 def _bwd_kernel(n_real_ref, allone_ref, a_ref, ct_ref, vp_ref, rp_ref,
                 bone_ref, drp_ref, *, n_pad: int, w_mode: str,
-                w_threshold: float, relat: bool):
+                w_threshold: float, relat: bool, fast_acos: bool = False):
     i = pl.program_id(0)
     vp = vp_ref[0]
     rp = rp_ref[0]
     bone = bone_ref[0][0:1, :]
     w, de, mask = _weights_de_mask(vp, bone, n_real_ref[i], allone_ref[i],
                                    a_ref[i], n_pad=n_pad, w_mode=w_mode,
-                                   w_threshold=w_threshold)
+                                   w_threshold=w_threshold,
+                                   fast_acos=fast_acos)
     de_r = _pair_dists(rp)
     if relat:
         de_safe = jnp.where(mask, de, 1.0)
@@ -284,7 +334,8 @@ def _fwd_call(vp_stack, rp_stack, bone_stack, a_stack, n_real, allone,
     n_real_e, allone_e, a_e = _expand_scalars(a_stack, n_real, allone, batch)
     tile, bone = _tile_specs(n_pad)
     kern = functools.partial(_fwd_kernel, n_pad=n_pad, w_mode=w_mode,
-                             w_threshold=w_threshold, relat=relat)
+                             w_threshold=w_threshold, relat=relat,
+                             fast_acos=_use_fast_acos(w_mode, w_threshold))
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -310,7 +361,8 @@ def _fwd_grad_call(vp_stack, rp_stack, bone_stack, a_stack, n_real, allone,
     n_real_e, allone_e, a_e = _expand_scalars(a_stack, n_real, allone, batch)
     tile, bone = _tile_specs(n_pad)
     kern = functools.partial(_fwd_grad_kernel, n_pad=n_pad, w_mode=w_mode,
-                             w_threshold=w_threshold, relat=relat)
+                             w_threshold=w_threshold, relat=relat,
+                             fast_acos=_use_fast_acos(w_mode, w_threshold))
     out, g0 = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -370,7 +422,8 @@ def _vjp_bwd(w_mode, w_threshold, relat, res, ct):
     ct_sum = ct[:, 0].astype(jnp.float32)   # the count output carries no grad
     tile, bone = _tile_specs(n_pad)
     kern = functools.partial(_bwd_kernel, n_pad=n_pad, w_mode=w_mode,
-                             w_threshold=w_threshold, relat=relat)
+                             w_threshold=w_threshold, relat=relat,
+                             fast_acos=_use_fast_acos(w_mode, w_threshold))
     drp = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(

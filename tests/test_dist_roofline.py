@@ -65,13 +65,16 @@ def _tile_case(n_pad=16, seed=0):
             jnp.asarray(a), n_real, allone)
 
 
+@pytest.mark.parametrize("fastacos", ["0", "1"])
 @pytest.mark.parametrize("w_mode,relat", [("threshold", True),
                                           ("sin", False),
                                           ("all_one", True)])
-def test_mirror_fwd_matches_interpret_kernel(dl, monkeypatch, w_mode, relat):
+def test_mirror_fwd_matches_interpret_kernel(dl, monkeypatch, w_mode, relat,
+                                             fastacos):
     from semantichuman_tpu.ops.pallas import part_dist_pallas as pd
 
     monkeypatch.setattr(pd, "_INTERPRET", True)
+    monkeypatch.setenv("SH_TPU_DIST_FASTACOS", fastacos)
     vp, rp, bone, a, n_real, allone = _tile_case()
     out = np.asarray(pd.part_dist_sums(vp, rp, bone, a, n_real, allone,
                                        w_mode, 0.8, relat))
@@ -83,8 +86,10 @@ def test_mirror_fwd_matches_interpret_kernel(dl, monkeypatch, w_mode, relat):
         np.testing.assert_allclose(out[i, 1], np.asarray(c), rtol=0)
 
 
+@pytest.mark.parametrize("fastacos", ["0", "1"])
 @pytest.mark.parametrize("one_pass", [False, True])
-def test_mirror_grads_match_interpret_kernel(dl, monkeypatch, one_pass):
+def test_mirror_grads_match_interpret_kernel(dl, monkeypatch, one_pass,
+                                             fastacos):
     import jax
     import jax.numpy as jnp
 
@@ -92,6 +97,7 @@ def test_mirror_grads_match_interpret_kernel(dl, monkeypatch, one_pass):
 
     monkeypatch.setattr(pd, "_INTERPRET", True)
     monkeypatch.setenv("SH_TPU_DIST_ONEPASS", "1" if one_pass else "0")
+    monkeypatch.setenv("SH_TPU_DIST_FASTACOS", fastacos)
     vp, rp, bone, a, n_real, allone = _tile_case()
     ct = 0.7
 

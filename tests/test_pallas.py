@@ -111,6 +111,51 @@ def test_fused_dist_matches_jnp(_interpret_part_dist, _dist_case,
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("onepass", ["0", "1"])
+@pytest.mark.parametrize("relat", [True, False])
+def test_fused_dist_fast_acos_matches_jnp(_interpret_part_dist, _dist_case,
+                                          monkeypatch, relat, onepass):
+    """SH_TPU_DIST_FASTACOS=1 (threshold mode, w_threshold >= 0.67 only)
+    drops the arcsin range reduction: surviving weights are bit-identical
+    (cos <= 0.5 takes the same Taylor branch either way) and pairs with
+    cos > 0.5 are zeroed by the same threshold compare, so value and grad
+    must equal the jnp path exactly like the slow path does — under both
+    VJP designs."""
+    import jax
+    from semantichuman_tpu.train import losses as L
+    tables, tx, rec, kps, a_full, edited = _dist_case
+    monkeypatch.setenv("SH_TPU_DIST_ONEPASS", onepass)
+    monkeypatch.setenv("SH_TPU_DIST_FASTACOS", "1")
+
+    def loss(rec_j, fused):
+        return L.weighted_distance_loss(
+            jnp.asarray(tx), rec_j, jnp.asarray(kps), tables,
+            a_full=jnp.asarray(a_full), edited_mask=jnp.asarray(edited),
+            n_edited=jnp.float32(2.0), w_mode="threshold", w_threshold=0.8,
+            w_part_mode="1/K", relat=relat, leafkeep=True, fused=fused)
+
+    rec_j = jnp.asarray(rec)
+    v_ref, g_ref = jax.value_and_grad(lambda r: loss(r, False))(rec_j)
+    v_fus, g_fus = jax.value_and_grad(lambda r: loss(r, True))(rec_j)
+    np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fast_acos_gate_conditions(monkeypatch):
+    """The fast path must refuse w_mode != threshold and thresholds below
+    the 2/3 validity bound even when the env asks for it."""
+    from semantichuman_tpu.ops.pallas import part_dist_pallas as pd
+    monkeypatch.setenv("SH_TPU_DIST_FASTACOS", "1")
+    assert pd._use_fast_acos("threshold", 0.8)
+    assert pd._use_fast_acos("threshold", 0.67)
+    assert not pd._use_fast_acos("threshold", 0.5)
+    assert not pd._use_fast_acos("linear", 0.8)
+    assert not pd._use_fast_acos("sin", 0.8)
+    monkeypatch.setenv("SH_TPU_DIST_FASTACOS", "0")
+    assert not pd._use_fast_acos("threshold", 0.8)
+
+
 @pytest.mark.parametrize("w_mode,relat", [("threshold", True),
                                           ("sin", False)])
 def test_fused_dist_one_pass_grad_matches(_interpret_part_dist, _dist_case,
