@@ -35,6 +35,10 @@ def main(argv=None):
                     help="override cfg.train.seed (init + data order) — "
                          "the multi-seed robustness study runs the same "
                          "recipe at --seed 2/3/4")
+    ap.add_argument("--banded", type=int, choices=(0, 1), default=None,
+                    help="override cfg.model.banded_conv (the r5 banded "
+                         "convergence-validation runs re-run a pinned "
+                         "recipe with banding forced on/off)")
     args = ap.parse_args(argv)
 
     from semantichuman_tpu.utils.compilation_cache import enable_cache
@@ -49,6 +53,10 @@ def main(argv=None):
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, synthetic=True),
+        model=dataclasses.replace(
+            cfg.model,
+            **({"banded_conv": bool(args.banded)}
+               if args.banded is not None else {})),
         train=dataclasses.replace(
             cfg.train, n_epochs=n_epochs, save_recons=True,
             **({"seed": args.seed} if args.seed is not None else {})))
