@@ -160,8 +160,15 @@ def main():
                              if isinstance(v, np.ndarray)}
                         for rw, t in tabs.items()}
         else:
-            from semantichuman_tpu.ops.banding import build_band_spec
+            import dataclasses
+
+            from semantichuman_tpu.ops.banding import (build_band_spec,
+                                                       build_diag_spec)
             specs = {rw: build_band_spec(sp_np, *rw) for rw in bands}
+            if os.environ.get("SH_TPU_PROBE_PALLAS") == "1":
+                specs = {rw: dataclasses.replace(
+                    s, diag=build_diag_spec(sp_np, rw[0], rw[1] // rw[0] + 1))
+                    for rw, s in specs.items()}
             tabs = {rw: {"spec": specs[rw], "starts": None,
                          "oob_frac": specs[rw].oob_frac}
                     for rw in bands}
@@ -208,6 +215,26 @@ def main():
                             (x, dt["G"], dt["fix_pos"], dt["fix_src"],
                              w, bias))
                         rec[f"band{R}x{W}_res_ms"] = round(t_band * 1e3, 3)
+                    if getattr(spec, "diag", None) is not None:
+                        from semantichuman_tpu.ops.spiral_conv import \
+                            spiral_conv_banded_pallas
+                        t_pal = _timed_grad(
+                            lambda xx, spx, wx, bx,
+                                   _sp=spec: spiral_conv_banded_pallas(
+                                xx, spx, _sp, wx, bx, "elu",
+                                compute_dtype=cdt),
+                            (x, sp, w, bias))
+                        y_pal = spiral_conv_banded_pallas(
+                            x, sp, spec, w, bias, "elu", compute_dtype=cdt)
+                        rec[f"band{R}x{W}_pallas_ms"] = round(t_pal * 1e3, 3)
+                        rec[f"band{R}x{W}_pallas_speedup"] = round(
+                            t_take / t_pal, 2)
+                        rec[f"band{R}x{W}_pallas_vs_fly"] = round(
+                            t_fly / t_pal, 2)
+                        rec[f"band{R}x{W}_pallas_err"] = float(
+                            jnp.max(jnp.abs(y_ref - y_pal)))
+                        rec[f"band{R}x{W}_pallas_oob_pct"] = round(
+                            100 * spec.diag.oob_frac, 2)
                     rec[f"band{R}x{W}_err"] = err
                     rec[f"band{R}x{W}_oob_pct"] = round(
                         100 * tabs[(R, W)]["oob_frac"], 2)

@@ -48,6 +48,103 @@ MAX_OOB_FRAC = 0.05
 
 
 @dataclass(frozen=True)
+class DiagBandSpec:
+    """Block-DIAGONAL banding for the Pallas fused gather kernel
+    (ops/pallas/banded_gather_pallas.py) — the r5 successor to the XLA
+    banded form's arbitrary-offset windows.
+
+    The XLA form extracts one W-row window per block at an arbitrary
+    (median-centered) start; a Pallas BlockSpec cannot express arbitrary
+    offsets, so here the window is K aligned R-row source BLOCKS starting
+    at block index `base[n]` (monotone, clipped).  K·R ≥ W, so coverage is
+    a superset of the XLA band's and out-of-band fixups can only shrink.
+
+    rel[n, r·S+s] = sp[n·R+r, s] − base[n]·R in [0, K·R), or −1 (sentinel:
+    matches no compare column — dummy pads and out-of-range entries).
+    Backward: source block q receives contributions from destination
+    blocks n with base[n] ≤ q < base[n]+K — a contiguous run because base
+    is monotone; bw_n/bw_k list them padded to a fixed width L with the
+    sentinel destination block `nblk` (the caller pads the cotangent with
+    one zero block).
+    """
+    base: np.ndarray      # [nblk] int32, block units, ≥ 0 (source pre-padded)
+    rel: np.ndarray       # [nblk, R*S] int32, −1 sentinel
+    bw_n: np.ndarray      # [n_src_blocks, L] int32 (nblk = zero-pad block)
+    bw_k: np.ndarray      # [n_src_blocks, L] int32
+    fix_pos: np.ndarray   # flat v*S+s positions out of the diagonal window
+    fix_src: np.ndarray
+    R: int
+    K: int
+    S: int
+    n_rows: int           # true output rows (V1*S)
+    n_src: int            # true source rows (pre-padding)
+    oob_frac: float
+
+    @property
+    def nblk(self) -> int:
+        return len(self.base)
+
+    @property
+    def n_src_blocks(self) -> int:
+        return self.bw_n.shape[0]
+
+
+def build_diag_spec(index_table: np.ndarray, R: int, K: int,
+                    dummy: int | None = None) -> DiagBandSpec:
+    """[N, S] dummy-resolved index table -> DiagBandSpec for (R, K).
+
+    The source is addressed in R-row blocks AFTER a front padding of K
+    blocks (so base can sit below 0 in raw coordinates); the kernel caller
+    pads the source the same way (ops/pallas/banded_gather_pallas.py)."""
+    sp = np.asarray(index_table)
+    n, s = sp.shape
+    if dummy is None:
+        dummy = int(sp.max())
+    nblk = (n + R - 1) // R
+    base = np.empty(nblk, np.int64)
+    for b in range(nblk):
+        blk = sp[b * R:(b + 1) * R]
+        real = blk[blk != dummy]
+        center = int(np.median(real)) if real.size else b * R + R // 2
+        base[b] = int(np.floor(center / R)) - K // 2
+    # monotone (required for the contiguous backward runs) + front-pad shift
+    base = np.maximum.accumulate(base) + K
+    sp_pad = np.full((nblk * R, s), -1, np.int64)
+    sp_pad[:n] = sp
+    rel = sp_pad.reshape(nblk, R, s) + K * R - base[:, None, None] * R
+    hit = (rel >= 0) & (rel < K * R) & (sp_pad.reshape(nblk, R, s) >= 0)
+    rel = np.where(hit, rel, -1).astype(np.int32).reshape(nblk, R * s)
+    miss = ~hit[:len(sp_pad) // R].reshape(nblk * R, s)[:n] \
+        & (sp != dummy)
+    miss_v, miss_s = np.nonzero(miss)
+    fix_pos = (miss_v * s + miss_s).astype(np.int32)
+    fix_src = sp[miss_v, miss_s].astype(np.int32)
+    pad = (-len(fix_pos)) % 8
+    fix_pos = np.concatenate([fix_pos, np.zeros(pad, np.int32)])
+    fix_src = np.concatenate([fix_src, np.full(pad, dummy, np.int32)])
+    # backward: source block q (in the padded space) <- destinations
+    n_src = dummy + 1
+    n_src_blocks = (n_src + R - 1) // R + 2 * K   # padded source space
+    runs = [[] for _ in range(n_src_blocks)]
+    for nb in range(nblk):
+        for k in range(K):
+            q = int(base[nb]) + k
+            if 0 <= q < n_src_blocks:
+                runs[q].append((nb, k))
+    L = max(1, max(len(r) for r in runs))
+    bw_n = np.full((n_src_blocks, L), nblk, np.int32)   # sentinel block
+    bw_k = np.zeros((n_src_blocks, L), np.int32)
+    for q, r in enumerate(runs):
+        for j, (nb, k) in enumerate(r):
+            bw_n[q, j] = nb
+            bw_k[q, j] = k
+    return DiagBandSpec(base=base.astype(np.int32), rel=rel, bw_n=bw_n,
+                        bw_k=bw_k, fix_pos=fix_pos, fix_src=fix_src,
+                        R=R, K=K, S=s, n_rows=n * s, n_src=n_src,
+                        oob_frac=len(miss_v) / sp.size)
+
+
+@dataclass(frozen=True)
 class BandSpec:
     """Static banding spec for one level's index table ([N, S] rows of
     source indices — the spiral table, unpool_idx, or pool_idx[:, None]).
@@ -69,6 +166,10 @@ class BandSpec:
     R: int
     W: int
     oob_frac: float
+    # the Pallas block-diagonal companion (same table, K*R >= W window);
+    # None when the geometry can't build one — consumers fall back to the
+    # XLA banded form
+    diag: DiagBandSpec | None = None
 
     @property
     def nblk(self) -> int:
@@ -145,5 +246,12 @@ def pick_band_spec(index_table: np.ndarray,
     for R, W in presets:
         spec = build_band_spec(index_table, R, W, dummy=dummy)
         if spec.oob_frac <= max_oob:
+            try:
+                from dataclasses import replace
+                diag = build_diag_spec(np.asarray(index_table), R,
+                                       W // R + 1, dummy=dummy)
+                spec = replace(spec, diag=diag)
+            except Exception:
+                pass        # diag companion is best-effort; XLA band stands
             return spec
     return None

@@ -199,6 +199,32 @@ def unpool_banded(x: jnp.ndarray, unpool_idx: jnp.ndarray,
     return jnp.transpose(y.reshape(vf1, b, c), (1, 0, 2))
 
 
+def unpool_banded_pallas(x: jnp.ndarray, unpool_idx: jnp.ndarray,
+                         unpool_w: jnp.ndarray, band) -> jnp.ndarray:
+    """unpool as the VMEM-fused Pallas block-diagonal gather
+    (ops/pallas/banded_gather_pallas.py): the <=3 weighted taps ride as
+    flat [V_f*3] rows with the barycentric weights folded into the
+    selection tiles; the tap sum happens on the reshaped result.  Same
+    exact out-of-band fixup as unpool_banded."""
+    from .pallas.banded_gather_pallas import diag_banded_gather
+    b, vc1, c = x.shape
+    vf1 = unpool_idx.shape[0]
+    spec = band.diag
+    wgt = unpool_w.astype(jnp.float32)
+    import numpy as np
+    w_pad = np.zeros((spec.nblk * spec.R, 3), np.float32)
+    w_pad[:vf1] = np.asarray(unpool_w, np.float32)
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(vc1, b * c)
+    g = diag_banded_gather(xp, w_pad.reshape(spec.nblk, spec.R * 3), spec)
+    if spec.fix_pos.size:
+        fp = jnp.asarray(spec.fix_pos)
+        fw = wgt.reshape(-1)[fp].astype(xp.dtype)
+        g = g.at[fp].add(fw[:, None]
+                         * jnp.take(xp, jnp.asarray(spec.fix_src), axis=0))
+    y = jnp.sum(g.reshape(vf1, 3, b, c), axis=1)
+    return jnp.transpose(y, (1, 0, 2))
+
+
 def unpool(x: jnp.ndarray, unpool_idx: jnp.ndarray,
            unpool_w: jnp.ndarray, band=None) -> jnp.ndarray:
     """x [B, V_c+1, C], unpool_idx [V_f+1, 3], unpool_w [V_f+1, 3]
@@ -209,5 +235,8 @@ def unpool(x: jnp.ndarray, unpool_idx: jnp.ndarray,
     if _onehot_ok(b, vf1):
         return unpool_dense(x, unpool_idx, unpool_w)
     if band is not None and _unpool_band_ok(b):
+        from .spiral_conv import _banded_pallas_ok
+        if _banded_pallas_ok(band):
+            return unpool_banded_pallas(x, unpool_idx, unpool_w, band)
         return unpool_banded(x, unpool_idx, unpool_w, band)
     return unpool_take(x, unpool_idx, unpool_w)

@@ -174,6 +174,53 @@ def spiral_conv_banded(x: jnp.ndarray, spiral_idx: jnp.ndarray, band,
     return y.at[:, -1, :].set(0.0)
 
 
+def _banded_pallas_ok(band) -> bool:
+    """Gate for the Pallas block-diagonal banded gather
+    (ops/pallas/banded_gather_pallas.py): the spec must carry a diag
+    companion, the env must not disable it, and Mosaic must compile the
+    kernel at this geometry on the current backend (probed once per
+    geometry per process).  Engages INSIDE the regions the XLA band
+    already owns (same measured dispatch gates) — it is a faster
+    implementation of the same math, not a new adoption region."""
+    import os
+    if band is None or band.diag is None:
+        return False
+    if os.environ.get("SH_TPU_BANDED_PALLAS", "0") != "1":
+        return False
+    from .pallas.banded_gather_pallas import diag_gather_available
+    return diag_gather_available(band.diag)
+
+
+def spiral_conv_banded_pallas(x: jnp.ndarray, spiral_idx: jnp.ndarray,
+                              band, w: jnp.ndarray, bias: jnp.ndarray,
+                              activation: str = "elu",
+                              compute_dtype=None) -> jnp.ndarray:
+    """Fine-level form: the banded gather as a VMEM-fused Pallas kernel
+    (ops/pallas/banded_gather_pallas.py) — identical math to
+    spiral_conv_banded (the diag window is a superset of the XLA band's,
+    the out-of-band tail uses the same exact sparse fixup), but the
+    selection tensor never materializes in HBM and its build cost is
+    batch-independent."""
+    act = ACTIVATIONS[activation]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    from .pallas.banded_gather_pallas import diag_banded_gather
+    b, _, c = x.shape
+    v1, s = spiral_idx.shape
+    spec = band.diag
+    xp = jnp.transpose(x, (1, 0, 2)).reshape(v1, b * c)
+    g = diag_banded_gather(xp, None, spec)              # [V1*S, B*C]
+    if spec.fix_pos.size:
+        g = g.at[jnp.asarray(spec.fix_pos)].add(
+            jnp.take(xp, jnp.asarray(spec.fix_src), axis=0))
+    g = (g.reshape(v1, s, b, c).transpose(2, 0, 1, 3)
+         .reshape(b, v1, s * c))
+    y = jnp.dot(g, w, preferred_element_type=jnp.float32)
+    y = act(y + bias.astype(y.dtype))
+    return y.at[:, -1, :].set(0.0)
+
+
 def spiral_conv_take(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
                      bias: jnp.ndarray, activation: str = "elu",
                      compute_dtype=None) -> jnp.ndarray:
@@ -256,6 +303,9 @@ def spiral_conv(x: jnp.ndarray, spiral_idx: jnp.ndarray, w: jnp.ndarray,
         return spiral_conv_onehot(x, spiral_idx, w, bias, activation,
                                   compute_dtype)
     if band is not None and _banded_ok(b):
+        if _banded_pallas_ok(band):
+            return spiral_conv_banded_pallas(x, spiral_idx, band, w, bias,
+                                             activation, compute_dtype)
         return spiral_conv_banded(x, spiral_idx, band, w, bias, activation,
                                   compute_dtype)
     return spiral_conv_take(x, spiral_idx, w, bias, activation,
