@@ -176,7 +176,8 @@ def main():
     def batches(bsz):
         spec = sampler.sample_interp(epoch=200, batch_size=bsz)
         bs = [{k: jax.device_put(v)
-               for k, v in _host_batch(sh, bsz, seed=s).items()}
+               for k, v in _host_batch(sh, bsz, seed=s,
+                                       tables=tables).items()}
               for s in range(3)]
         return bs[0], bs[1], bs[2], spec
 

@@ -167,7 +167,8 @@ def trace_step(batch_size: int) -> list:
 
     sampler = EditSampler(seed=0)
     spec = sampler.sample_interp(epoch=200, batch_size=batch_size)
-    bs = [_host_batch(sh, batch_size, seed=s) for s in range(3)]
+    bs = [_host_batch(sh, batch_size, seed=s, tables=tables)
+          for s in range(3)]
 
     jax.eval_shape(step, params, opt_state, bs[0], bs[1], bs[2],
                    {k: np.asarray(v) for k, v in spec.items()})

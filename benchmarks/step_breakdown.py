@@ -63,9 +63,12 @@ def main():
     b = args.batch
     sampler = EditSampler(seed=0)
     spec = sampler.sample_interp(epoch=200, batch_size=b)
-    batch = {k: jax.device_put(v) for k, v in _host_batch(sh, b, 0).items()}
-    interp = {k: jax.device_put(v) for k, v in _host_batch(sh, b, 1).items()}
-    exc = {k: jax.device_put(v) for k, v in _host_batch(sh, b, 2).items()}
+    batch = {k: jax.device_put(v)
+             for k, v in _host_batch(sh, b, 0, tables=tables).items()}
+    interp = {k: jax.device_put(v)
+              for k, v in _host_batch(sh, b, 1, tables=tables).items()}
+    exc = {k: jax.device_put(v)
+           for k, v in _host_batch(sh, b, 2, tables=tables).items()}
     step_args = (batch, interp, exc, spec)
 
     configs = {

@@ -35,13 +35,31 @@ def _put_replicated(x, mesh):
     return put_replicated(np.asarray(x), mesh)
 
 
+# edge-length precompute cap: [N, F, 3] f32 staged per split (synthetic
+# 256-sample split: ~42 MB; a full DFAUST train split would be ~5.4 GB and
+# falls back to per-step GT recompute)
+GT_EDGE_MAX_BYTES = 512 * 1024 * 1024
+
+
 class DeviceDataSource:
-    """One split's arrays staged on device + a jitted batch materializer."""
+    """One split's arrays staged on device + a jitted batch materializer.
+
+    When `gt_faces`/`gt_face_part_mask` are provided, the per-sample GT
+    loss inputs (face-edge lengths for the edge regularizer, part volumes
+    for the volume loss) are computed ONCE over the staged, normalized
+    split and staged too: they are pure functions of the training data,
+    and recomputing them per step costs 2×F·3 gathered vertex rows on the
+    gather-engine row floor (measured ~2 ms/step of the B=4 paper-recipe
+    step, benchmarks/step_breakdown.py).  Elementwise math (edges) is
+    bitwise the in-step fallback; the volume reduction matches up to f32
+    reduction order."""
 
     def __init__(self, verts: np.ndarray, measures: np.ndarray | None,
                  normalization: str, j_regressor: np.ndarray | None = None,
                  stats: ShapeStats | None = None, mesh=None,
-                 batch_shard=None, dummy_node: bool = True):
+                 batch_shard=None, dummy_node: bool = True,
+                 gt_faces: np.ndarray | None = None,
+                 gt_face_part_mask: np.ndarray | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -72,7 +90,7 @@ class DeviceDataSource:
 
         norm = normalization
 
-        def batch_fn(data, meas, idx):
+        def batch_fn(data, meas, gt, idx):
             # mirror of data.dataset.normalize_batch, on device
             v = jnp.take(data, idx, axis=0)
             if "zeromean" in norm:
@@ -97,6 +115,9 @@ class DeviceDataSource:
             out = {"verts": v}
             if meas is not None:
                 out["measure"] = jnp.take(meas, idx, axis=0)
+            if gt is not None:
+                for name, arr in gt.items():
+                    out[name] = jnp.take(arr, idx, axis=0)
             return out
 
         kw = {}
@@ -107,6 +128,26 @@ class DeviceDataSource:
         # make_epoch_scan_step), which fetches batches per scan iteration
         self.batch_fn = batch_fn
         self._batch_fn = jax.jit(batch_fn, **kw)
+
+        self.gt = None
+        if gt_faces is not None:
+            from ..ops.distance import face_edge_lengths, signed_part_volumes
+            faces_j = jnp.asarray(np.asarray(gt_faces, np.int64))
+            mask_j = (None if gt_face_part_mask is None
+                      else jnp.asarray(np.asarray(gt_face_part_mask,
+                                                  np.float32)))
+            nv = jax.jit(lambda d, m: batch_fn(
+                d, m, None, jnp.arange(self.n, dtype=jnp.int32))["verts"])(
+                    self.verts, self.measures)[:, :-1]
+            gt = {}
+            edge_bytes = self.n * int(gt_faces.shape[0]) * 3 * 4
+            if edge_bytes <= GT_EDGE_MAX_BYTES:
+                gt["gt_face_edges"] = _put_replicated(
+                    jax.jit(face_edge_lengths)(nv, faces_j), mesh)
+            if mask_j is not None:
+                gt["gt_part_vols"] = _put_replicated(
+                    jax.jit(signed_part_volumes)(nv, faces_j, mask_j), mesh)
+            self.gt = gt or None
 
     def __len__(self):
         return self.n
@@ -130,7 +171,7 @@ class DeviceDataSource:
         jax = self._jax
         idx = np.asarray(meta["global_idx"], np.int32)
         idx_dev = _put_replicated(idx, self.mesh)
-        out = self._batch_fn(self.verts, self.measures, idx_dev)
+        out = self._batch_fn(self.verts, self.measures, self.gt, idx_dev)
         return {**out,
                 "pad": meta["pad"],
                 "valid": self._place_valid(meta["valid"]),

@@ -306,7 +306,11 @@ class Trainer:
             sid: DeviceDataSource(
                 src.verts, src.measures, self.cfg.data.normalization,
                 j_regressor=self.assets.j_regressor, stats=self.stats,
-                mesh=self.mesh, batch_shard=self.batch_shard)
+                mesh=self.mesh, batch_shard=self.batch_shard,
+                # precomputed per-sample GT loss inputs (edge lengths,
+                # part volumes) — pure data functions, staged once
+                gt_faces=np.asarray(self.tables.faces),
+                gt_face_part_mask=np.asarray(self.tables.face_part_mask))
             for sid, src in sources.items()}
         self.device_data = staged
         self.train_loader = DeviceBatchLoader(
@@ -381,8 +385,12 @@ class Trainer:
     def _step_view(batch: dict) -> dict:
         """The device-array subset a jitted step consumes — host-side ids
         (idx/global_idx/pad) stay out of the jit pytree (they differ across
-        processes in multi-host runs)."""
-        return {k: batch[k] for k in ("verts", "measure") if k in batch}
+        processes in multi-host runs).  The precomputed GT loss inputs ride
+        along so the step loop runs the same program the epoch scan runs
+        (scan ≡ step-loop trajectory equality is a tested invariant)."""
+        return {k: batch[k]
+                for k in ("verts", "measure", "gt_face_edges",
+                          "gt_part_vols") if k in batch}
 
     def _host(self, arr) -> np.ndarray:
         """Read a (possibly non-fully-addressable) device array on the host."""
@@ -678,7 +686,7 @@ class Trainer:
         step = self._get_scan_step(
             e0, "dynamic" if exc_dyn else static_variant, k)
         self.params, self.opt_state, ms = step(
-            self.params, self.opt_state, src.verts, src.measures,
+            self.params, self.opt_state, src.verts, src.measures, src.gt,
             put_stacked(idx_tr, True), put_stacked(idx_in, True),
             put_stacked(idx_ex, True),
             {name: put_stacked(v, name == "a_full")

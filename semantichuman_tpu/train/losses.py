@@ -80,9 +80,17 @@ def rec_loss(tx, tx_hat):
     return l1(tx, tx_hat)
 
 
-def edgereg_loss(tx_nodummy, rec_nodummy, faces):
-    """mean over batch/faces/edges of |rec_edge / (gt_edge + 1e-5) − 1|."""
-    gt = face_edge_lengths(tx_nodummy, faces) + 1e-5
+def edgereg_loss(tx_nodummy, rec_nodummy, faces, gt_edges=None):
+    """mean over batch/faces/edges of |rec_edge / (gt_edge + 1e-5) − 1|.
+
+    gt_edges [B, F, 3]: the GT face-edge lengths, optionally PRECOMPUTED —
+    they are a pure per-sample function of the training data, so the
+    device-resident pipeline stages them once (data.device_data) instead
+    of re-gathering 2×F·3 vertex rows per step; elementwise math, so the
+    staged values are bitwise what this fallback computes."""
+    if gt_edges is None:
+        gt_edges = face_edge_lengths(tx_nodummy, faces)
+    gt = gt_edges + 1e-5
     pred = face_edge_lengths(rec_nodummy, faces)
     return jnp.mean(jnp.abs(pred / gt - 1.0))
 
@@ -222,12 +230,18 @@ def weighted_distance_loss(tx_nodummy, rec_nodummy, kps_full, tables: LossTables
     return total
 
 
-def volume_loss(tx_nodummy, rec_nodummy, tables: LossTables):
-    """mean over batch and non-leaf parts of | |rec_vol/gt_vol| − 1 |."""
+def volume_loss(tx_nodummy, rec_nodummy, tables: LossTables, gt_vols=None):
+    """mean over batch and non-leaf parts of | |rec_vol/gt_vol| − 1 |.
+
+    gt_vols [B, P']: optionally precomputed GT part volumes (pure
+    per-sample data function — staged once by the device-resident
+    pipeline; per-sample face reduction, same values up to f32 reduction
+    order)."""
     faces = jnp.asarray(tables.faces)
     mask = jnp.asarray(tables.face_part_mask)
     rec_vol = signed_part_volumes(rec_nodummy, faces, mask)   # [B, P']
-    gt_vol = signed_part_volumes(tx_nodummy, faces, mask)
+    gt_vol = (signed_part_volumes(tx_nodummy, faces, mask)
+              if gt_vols is None else gt_vols)
     ratio = jnp.abs(rec_vol / gt_vol)
     return jnp.mean(jnp.abs(ratio - 1.0))
 

@@ -180,7 +180,8 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
         metrics["rec"] = rec_l
 
         if flags.edgereg:
-            e = L.edgereg_loss(tx[:, :-1], rec[:, :-1], faces)
+            e = L.edgereg_loss(tx[:, :-1], rec[:, :-1], faces,
+                               gt_edges=batch.get("gt_face_edges"))
             loss = loss + flags.edgereg_w * e
             metrics["edgereg"] = e
         if flags.zpartreg:
@@ -210,7 +211,8 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
         if flags.exc:
             rec_e = rec_segs[-1]
             if flags.vol and exc_variant == "ori":
-                vl = L.volume_loss(txe[:, :-1], rec_e[:, :-1], tables)
+                vl = L.volume_loss(txe[:, :-1], rec_e[:, :-1], tables,
+                                   gt_vols=exc_batch.get("gt_part_vols"))
                 loss = loss + flags.vol_w * vl
                 metrics["vol"] = vl
             elif flags.vol and exc_variant == "dynamic":
@@ -219,7 +221,8 @@ def make_loss_fn(model, tables: L.LossTables, flags: StepFlags,
                 # that gate becomes a traced weight; the logged metric is
                 # gated too so scan-path curves match the step-loop path
                 # (which reports no vol on 'm' steps)
-                vl = L.volume_loss(txe[:, :-1], rec_e[:, :-1], tables)
+                vl = L.volume_loss(txe[:, :-1], rec_e[:, :-1], tables,
+                                   gt_vols=exc_batch.get("gt_part_vols"))
                 loss = loss + flags.vol_w * edit_spec["exc_is_ori"] * vl
                 metrics["vol"] = edit_spec["exc_is_ori"] * vl
             if flags.exc_kps_w > 0:
@@ -275,7 +278,8 @@ def make_baseline_loss_fn(model, tables: L.LossTables, flags: StepFlags):
         loss = rec_l
         metrics = {"rec": rec_l}
         if flags.edgereg:
-            e = L.edgereg_loss(tx[:, :-1], rec[:, :-1], faces)
+            e = L.edgereg_loss(tx[:, :-1], rec[:, :-1], faces,
+                               gt_edges=batch.get("gt_face_edges"))
             loss = loss + flags.edgereg_w * e
             metrics["edgereg"] = e
         metrics["loss"] = loss
@@ -340,25 +344,27 @@ def make_epoch_scan_step(model, tables: L.LossTables, optimizer,
     per-step host path vanishes entirely, which matters on hosts slower
     than the accelerator.
 
-    batch_fn: (data, meas, idx[B]) -> {"verts", "measure"} — the pure
-    DeviceDataSource materializer; `data`/`meas` are passed as arguments
-    (closing over multi-GB staged arrays would ship them as compile-time
-    constants).  exc_variant may be 'dynamic': the 'ori_or_m' coin flips
-    ride in specs["exc_is_ori"] [K].
+    batch_fn: (data, meas, gt, idx[B]) -> {"verts", "measure", gt keys} —
+    the pure DeviceDataSource materializer; `data`/`meas`/`gt` are passed
+    as arguments (closing over multi-GB staged arrays would ship them as
+    compile-time constants).  `gt` is the staged dict of precomputed
+    per-sample GT loss inputs (None when not staged).  exc_variant may be
+    'dynamic': the 'ori_or_m' coin flips ride in specs["exc_is_ori"] [K].
 
-    Returns jitted: (params, opt_state, data, meas, idx_tr [K,Bt],
+    Returns jitted: (params, opt_state, data, meas, gt, idx_tr [K,Bt],
     idx_in [K,Bi], idx_ex [K,Bi], specs {.: [K,...]})
     -> (params, opt_state, metrics {.: [K]}).
     """
     loss_fn = make_loss_fn(model, tables, flags, exc_variant)
 
-    def step(params, opt_state, data, meas, idx_tr, idx_in, idx_ex, specs):
+    def step(params, opt_state, data, meas, gt, idx_tr, idx_in, idx_ex,
+             specs):
         def one(carry, xs):
             p, o = carry
             it, ii, ie, spec = xs
-            batch = batch_fn(data, meas, it)
-            interp = batch_fn(data, meas, ii)
-            exc = batch_fn(data, meas, ie)
+            batch = batch_fn(data, meas, gt, it)
+            interp = batch_fn(data, meas, gt, ii)
+            exc = batch_fn(data, meas, gt, ie)
             (_, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 p, batch, interp, exc, spec)
             m["gnorm"] = optax.global_norm(grads)

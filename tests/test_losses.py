@@ -237,3 +237,23 @@ def test_step_timer():
     assert s["steps"] == 3                 # first (compile) step dropped
     assert 0.005 < s["mean_s"] < 0.1
     assert s["p50_s"] <= s["max_s"]
+
+
+def test_precomputed_gt_inputs_match_inline(tables, data):
+    """The staged GT loss inputs (data.device_data precompute) must yield
+    the same loss values the in-step fallback computes: edge lengths are
+    elementwise (bitwise), part volumes match up to f32 reduction order."""
+    from semantichuman_tpu.ops.distance import (face_edge_lengths,
+                                                signed_part_volumes)
+    tx, rec, _, _ = data
+    txj, recj = jnp.asarray(tx), jnp.asarray(rec)
+    faces = jnp.asarray(tables.faces)
+    gt_e = face_edge_lengths(txj, faces)
+    np.testing.assert_array_equal(
+        np.asarray(L.edgereg_loss(txj, recj, faces, gt_edges=gt_e)),
+        np.asarray(L.edgereg_loss(txj, recj, faces)))
+    gt_v = signed_part_volumes(txj, faces,
+                               jnp.asarray(tables.face_part_mask))
+    np.testing.assert_allclose(
+        float(L.volume_loss(txj, recj, tables, gt_vols=gt_v)),
+        float(L.volume_loss(txj, recj, tables)), rtol=1e-6)
