@@ -77,7 +77,9 @@ GFLOP_PER_MESH = 5.43
 PEAK_TFLOPS = 197.0
 
 STEP_MS_ACHIEVED = {
-    128: 1000.0 * 128 / 625.0,   # r4 driver headline (BENCH_r04.json)
+    128: 1000.0 * 128 / 642.0,   # r5 session headline
+                                 # (results/r5_tpu/bench_gt.out; r4 driver
+                                 # capture: 625.0, BENCH_r04.json)
     64: 1000.0 * 64 / 444.56,    # r4 bench sweep
     256: 1000.0 * 256 / 556.1,   # r4 bench sweep
     4: 2200.0 / 64,              # paper recipe: 2.2 s/epoch / 64 steps
