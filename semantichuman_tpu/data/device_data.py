@@ -90,9 +90,14 @@ class DeviceDataSource:
 
         norm = normalization
 
-        def batch_fn(data, meas, gt, idx):
-            # mirror of data.dataset.normalize_batch, on device
-            v = jnp.take(data, idx, axis=0)
+        def _normalize(v, idx):
+            # mirror of data.dataset.normalize_batch, on device.
+            # Every mode is a PER-SAMPLE transform, so this runs ONCE over
+            # the whole staged split at init (idx = arange) and the
+            # per-step materializer below is a pure row gather — the
+            # per-step normalize + dummy-concat work (3 batches/step)
+            # disappears, bitwise (per-sample reductions are independent
+            # of the leading batch size).
             if "zeromean" in norm:
                 v = v - jnp.mean(v, axis=1, keepdims=True)
             if "zeroroot" in norm:
@@ -112,7 +117,14 @@ class DeviceDataSource:
             if dummy_node:
                 z = jnp.zeros((v.shape[0], 1, v.shape[2]), v.dtype)
                 v = jnp.concatenate([v, z], axis=1)
-            out = {"verts": v}
+            return v
+
+        # normalized output inherits the input's replicated placement
+        self.verts = jax.jit(_normalize)(
+            self.verts, jnp.arange(self.n, dtype=jnp.int32))
+
+        def batch_fn(data, meas, gt, idx):
+            out = {"verts": jnp.take(data, idx, axis=0)}
             if meas is not None:
                 out["measure"] = jnp.take(meas, idx, axis=0)
             if gt is not None:
@@ -136,17 +148,14 @@ class DeviceDataSource:
             mask_j = (None if gt_face_part_mask is None
                       else jnp.asarray(np.asarray(gt_face_part_mask,
                                                   np.float32)))
-            nv = jax.jit(lambda d, m: batch_fn(
-                d, m, None, jnp.arange(self.n, dtype=jnp.int32))["verts"])(
-                    self.verts, self.measures)[:, :-1]
+            nv = self.verts[:, :-1] if dummy_node else self.verts
             gt = {}
             edge_bytes = self.n * int(gt_faces.shape[0]) * 3 * 4
             if edge_bytes <= GT_EDGE_MAX_BYTES:
-                gt["gt_face_edges"] = _put_replicated(
-                    jax.jit(face_edge_lengths)(nv, faces_j), mesh)
+                gt["gt_face_edges"] = jax.jit(face_edge_lengths)(nv, faces_j)
             if mask_j is not None:
-                gt["gt_part_vols"] = _put_replicated(
-                    jax.jit(signed_part_volumes)(nv, faces_j, mask_j), mesh)
+                gt["gt_part_vols"] = jax.jit(signed_part_volumes)(
+                    nv, faces_j, mask_j)
             self.gt = gt or None
 
     def __len__(self):
