@@ -595,13 +595,15 @@ class Trainer:
             self.global_step += 1
             if cfg.train.log_every and self._is_main and (
                     self.global_step % cfg.train.log_every == 0):
-                self.logger.log(self.global_step, metrics)
+                # one transfer — the logger float()s per scalar, which on
+                # the remote tunnel would cost a fetch round-trip each
+                self.logger.log(self.global_step, jax.device_get(metrics))
             last_batch = batch
 
         losses_h = [float(v) for v in jax.device_get(step_losses)]
         epoch_tloss = (sum(v * b for v, b in zip(losses_h, step_sizes))
                        / max(sum(step_sizes), 1))
-        return epoch_tloss, metrics, last_batch
+        return epoch_tloss, jax.device_get(metrics), last_batch
 
     # --- epoch-scan path --------------------------------------------------------
     def _epoch_scan_ok(self) -> bool:
@@ -693,24 +695,29 @@ class Trainer:
              for name, v in specs_st.items()})
         self.global_step += k
 
+        # ONE host transfer for every per-step metric: the logger float()s
+        # each scalar, and on the remote tunnel a per-scalar fetch costs
+        # ~25 ms — 13 metrics × per-epoch chunks read ~0.3 s/epoch of pure
+        # fetch latency before this batching (measured: the paper recipe
+        # logged 2.15 s/epoch while the probe's single-fetch path ran 1.82)
+        ms_h = jax.device_get(ms)
         if cfg.train.log_every and self._is_main:
             base = self.global_step - k
-            ms_h = jax.device_get(ms)
             for s in range(k):
                 if (base + s + 1) % cfg.train.log_every == 0:
                     self.logger.log(base + s + 1,
                                     {n: v[s] for n, v in ms_h.items()})
-        loss_h = np.asarray(jax.device_get(ms["loss"]))
+        loss_h = np.asarray(ms_h["loss"])
         eps = np.asarray(epoch_of_step)
         tlosses = [float(loss_h[eps == e].mean())
                    for e in range(e0, e1 + 1)]
-        metrics_last = {n: v[-1] for n, v in ms.items()}
-        if "gnorm" in ms:
+        metrics_last = {n: v[-1] for n, v in ms_h.items()}
+        if "gnorm" in ms_h:
             # a chunk fuses up to scan_epochs × steps-per-epoch steps into
             # one dispatch; for the stability diagnostic the MAX raw grad
             # norm across the chunk is the signal (a last-step value would
             # hide the spike that NaNs a near-the-edge recipe mid-chunk)
-            metrics_last["gnorm"] = ms["gnorm"].max()
+            metrics_last["gnorm"] = ms_h["gnorm"].max()
         last_batch = (src.take(metas[-1])
                       if cfg.train.save_recons and e1 % 50 == 0 else None)
         return tlosses, metrics_last, last_batch
