@@ -411,12 +411,13 @@ class Trainer:
     def _masked_sum(self, values, valid):
         """Sum of per-sample values over the valid (non-padded) rows, plus
         the valid count — computed jitted so it works on globally sharded
-        eval batches."""
+        eval batches.  Returns DEVICE scalars: callers accumulate on
+        device and fetch once at the end (each float() of a device scalar
+        costs a remote round-trip on the tunnel)."""
         if not hasattr(self, "_masked_sum_fn"):
             self._masked_sum_fn = jax.jit(
                 lambda x, m: (jnp.sum(x * m), jnp.sum(m)))
-        s, c = self._masked_sum_fn(values, valid)
-        return float(s), float(c)
+        return self._masked_sum_fn(values, valid)
 
     # --- main loop ---------------------------------------------------------------
     def dump_part_template(self):
@@ -733,14 +734,20 @@ class Trainer:
 
     def validate(self) -> float:
         step = self._get_eval_step()
-        total, count = 0.0, 0.0
+        # accumulate ON DEVICE; one fetch for the whole pass (each float()
+        # of a device scalar is a remote round-trip — 2 per batch added up
+        # to ~0.2 s/epoch of the paper recipe's val-every-epoch wall)
+        total, count = None, None
         for batch in self.val_loader:
             batch = self._put(batch)
             out = step(self.params, self._step_view(batch))
             s, c = self._masked_sum(out["l1"], batch["valid"])
-            total += s
-            count += c
-        return total / max(count, 1.0)
+            total = s if total is None else total + s
+            count = c if count is None else count + c
+        if total is None:
+            return 0.0
+        total_h, count_h = jax.device_get((total, count))
+        return float(total_h) / max(float(count_h), 1.0)
 
     def evaluate(self, loader=None, mm_constant: float = 1000.0,
                  unnormalize: bool | None = None):
@@ -784,8 +791,10 @@ class Trainer:
                 l2_sum += float(np.sum(np.mean(np.sqrt(np.sum(
                     (d * mm_constant) ** 2, axis=2)), axis=1)))
             else:
-                l1_sum += self._masked_sum(out["l1"], batch["valid"])[0]
-                l2_sum += self._masked_sum(out["l2_mm"], batch["valid"])[0]
+                l1_sum += float(self._masked_sum(out["l1"],
+                                                 batch["valid"])[0])
+                l2_sum += float(self._masked_sum(out["l2_mm"],
+                                                 batch["valid"])[0])
             preds.append(rec)
             zs.append(self._host(out["z"])[:n_valid])
             zkps.append(self._host(out["z_kps"])[:n_valid])
