@@ -111,6 +111,28 @@ def gt_precompute(d):
     return lines
 
 
+def prenorm(d):
+    """Pre-normalized staging (batch materializer becomes a pure gather):
+    adopted for the epoch path; throughput-neutral on the isolated step."""
+    lines = []
+    b = _bench(os.path.join(d, "bench_prenorm.out"))
+    g = _bench(os.path.join(d, "bench_gt.out"))
+    if b and g:
+        lines.append(
+            f"prenorm staging, B=128 headline: {b['value']} vs "
+            f"{g['value']} m/s (GT-staged tree) — throughput-neutral "
+            "(within run-to-run), ADOPTED for the epoch path (removes the "
+            "in-scan normalize from the batch materializer)")
+    bk = _json_lines(os.path.join(d, "b4_breakdown_prenorm.out"))
+    bg = _json_lines(os.path.join(d, "b4_breakdown_gt.out"))
+    if bk and bg:
+        lines.append(
+            f"prenorm, B=4 isolated step: {bk[0]['full_ms']} ms vs "
+            f"{bg[0]['full_ms']} (GT-staged) — neutral; the win is the "
+            "in-scan epoch path (epoch_probe_prenorm below)")
+    return lines
+
+
 def out_of_sample(d):
     b = _bench(os.path.join(d, "bench_b192.out"))
     if not b:
@@ -126,6 +148,8 @@ def convergence():
     lines = []
     for name, path, kind in (
             ("banded paper seed 3", "results/convergence300_r5banded",
+             "paper"),
+            ("full r5 tree, paper recipe", "results/convergence300_r5full",
              "paper"),
             ("banded fast seed 2", "results/fast_seed2_banded", "fast")):
         curve = os.path.join(REPO, path, "curve.jsonl")
@@ -173,6 +197,7 @@ def main(argv=None):
         ("distance-loss pass cuts (A/B)", pass_cut_ab(d)),
         ("pallas block-diagonal gather probe", diag_probe(d)),
         ("GT loss-input precompute", gt_precompute(d)),
+        ("pre-normalized staging", prenorm(d)),
         ("roofline out-of-sample", out_of_sample(d)),
         ("banded convergence validation", convergence()),
         ("paper-recipe epoch attribution", epoch_attr(d)),
