@@ -82,8 +82,12 @@ STEP_MS_ACHIEVED = {
                                  # capture: 625.0, BENCH_r04.json)
     64: 1000.0 * 64 / 444.56,    # r4 bench sweep
     256: 1000.0 * 256 / 556.1,   # r4 bench sweep
-    4: 2200.0 / 64,              # paper recipe: 2.2 s/epoch / 64 steps
-                                 # (r4 banded run, results/r4_tpu/paper_banded.out)
+    4: 1800.0 / 64,              # paper recipe: 1.8 s/epoch / 64 steps, r5
+                                 # shipped (staged GT + batched metric fetch,
+                                 # results/r5_tpu/epoch_probe_gt.out); the
+                                 # isolated chained step is 24.1 ms — the
+                                 # ~4 ms delta is recorded scan machinery
+                                 # (docs/BENCHMARKS.md epoch attribution)
 }
 
 
