@@ -62,16 +62,21 @@ BW_EFF_GBS_TYP = 120.0      # typical measured (production layout)
 MEASURED_LOSS_MS_TWO_KERNEL = 72.9
 MEASURED_LOSS_MS_ONE_PASS = 47.8
 # r5 pass-reduction levers (q-dedup + threshold acos fast path,
-# SH_TPU_DIST_FASTACOS default on): the back-to-back A/B measured the full
-# step 204.8 -> 200.3 ms, so the loss term shrinks by the same 4.5 ms
-MEASURED_LOSS_MS_ONE_PASS_FAST = 43.3
+# SH_TPU_DIST_FASTACOS default on) + staged GT loss inputs: measured
+# directly on the shipped tree by the flag-toggle breakdown
+# (benchmarks/step_breakdown.py --batch 128 --iters 20,
+# results/r5_tpu/b128_breakdown_final.out: dist_loss_ms 37.9 — the
+# back-to-back A/B arithmetic's 43.3 was pre-GT-staging and carried the
+# stale 3.1 vol term)
+MEASURED_LOSS_MS_ONE_PASS_FAST = 37.9
 if os.environ.get("SH_TPU_DIST_ONEPASS", "1") == "0":
     MEASURED_LOSS_MS = MEASURED_LOSS_MS_TWO_KERNEL
 elif os.environ.get("SH_TPU_DIST_FASTACOS", "1") == "0":
     MEASURED_LOSS_MS = MEASURED_LOSS_MS_ONE_PASS
 else:
     MEASURED_LOSS_MS = MEASURED_LOSS_MS_ONE_PASS_FAST
-MEASURED_VOL_MS = 3.1
+# part-volume loss, same toggle methodology, same run (was 3.1 pre-GT-staging)
+MEASURED_VOL_MS = 2.7
 # bench.py roofline: 5.43 GFLOP/mesh; v5e bf16 peak 197 TFLOP/s
 GFLOP_PER_MESH = 5.43
 PEAK_TFLOPS = 197.0
