@@ -134,14 +134,35 @@ def prenorm(d):
 
 
 def out_of_sample(d):
+    lines = []
     b = _bench(os.path.join(d, "bench_b192.out"))
-    if not b:
-        return []
-    ms = 1000.0 * 192 / b["value"]
-    return [f"B=192 out-of-sample: measured {b['value']} m/s = {ms:.1f} ms "
+    if b:
+        ms = 1000.0 * 192 / b["value"]
+        lines.append(
+            f"B=192 out-of-sample: measured {b['value']} m/s = {ms:.1f} ms "
             f"vs the PRE-PUBLISHED {B192_PRED_MS} ms floor "
             f"({100 * B192_PRED_MS / ms:.0f}% of bound) — floor holds, "
-            "B>128 slack confirmed (docs out-of-sample table)"]
+            "B>128 slack confirmed (docs out-of-sample table)")
+    b128 = _json_lines(os.path.join(d, "b128_breakdown_final.out"))
+    b256 = _json_lines(os.path.join(d, "b256_breakdown.out"))
+    if b128:
+        r = b128[0]
+        lines.append(
+            f"B=128 shipped-tree breakdown: full {r['full_ms']} ms = "
+            f"{r['full_mps']} m/s, dist {r['dist_loss_ms']}, vol "
+            f"{r['vol_loss_ms']} — refreshed roofline constants "
+            "(bound 197.9 ms, achieved 99.3-99.4%)")
+    if b128 and b256:
+        r, q = b128[0], b256[0]
+        lines.append(
+            f"B=256 slack attributed: rec-only trunk BELOW batch-linear "
+            f"({q['rec_only_ms']} vs {2 * r['rec_only_ms']:.1f} ms), extra "
+            f"branch segments ~1.3x above it "
+            f"({q['interp_branch_ms']}/{q['exc_branch_ms']} vs "
+            f"{2 * r['interp_branch_ms']:.0f}/{2 * r['exc_branch_ms']:.0f})"
+            " — concat-768 trunk working set presses HBM; recorded, not "
+            "chased (production point is B=128)")
+    return lines
 
 
 def convergence():
