@@ -172,6 +172,10 @@ def convergence():
              "paper"),
             ("full r5 tree, paper recipe", "results/convergence300_r5full",
              "paper"),
+            ("banded paper seed 4 (r5 final tree)",
+             "results/convergence300_r5banded_s4", "paper"),
+            ("banded paper seed 5 (r5 final tree)",
+             "results/convergence300_r5banded_s5", "paper"),
             ("banded fast seed 2", "results/fast_seed2_banded", "fast")):
         curve = os.path.join(REPO, path, "curve.jsonl")
         recs = _json_lines(curve)
