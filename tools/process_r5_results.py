@@ -176,7 +176,9 @@ def convergence():
              "results/convergence300_r5banded_s4", "paper"),
             ("banded paper seed 5 (r5 final tree)",
              "results/convergence300_r5banded_s5", "paper"),
-            ("banded fast seed 2", "results/fast_seed2_banded", "fast")):
+            ("banded fast seed 2", "results/fast_seed2_banded", "fast"),
+            ("fast seed 7 (final shipped tree)", "results/fast_seed7",
+             "fast")):
         curve = os.path.join(REPO, path, "curve.jsonl")
         recs = _json_lines(curve)
         if not recs:
