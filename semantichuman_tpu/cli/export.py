@@ -30,6 +30,13 @@ def main(argv=None):
                     help="export fixed-batch artifacts instead of "
                          "symbolic-batch ones")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--trunk_dtype", default=None,
+                    choices=("float32", "bfloat16"),
+                    help="serving numeric policy override (default: the "
+                         "config's trunk_dtype).  Checkpoints are "
+                         "dtype-independent — params stay f32, the bf16 "
+                         "trunk is a runtime cast — so an f32-trained "
+                         "checkpoint exports to a bf16 bundle directly")
     args = ap.parse_args(argv)
 
     from ..utils.compilation_cache import enable_cache
@@ -43,6 +50,11 @@ def main(argv=None):
     from ..utils.checkpoint import restore_checkpoint
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
+    if args.trunk_dtype:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           trunk_dtype=args.trunk_dtype))
     if args.synthetic or cfg.data.synthetic:
         assets, _sh = BodyAssets.synthetic(
             n_theta=cfg.data.synthetic_n_theta,

@@ -9,7 +9,7 @@ the deployment unit for a TPU serving fleet.
 
 Artifacts (one file each, `.shlo`):
   forward  (verts [B, V+1, 3])          -> (rec, z, z_kps)
-  encode   (verts [B, V+1, 3])          -> (z, z_kps, dummy, kps_full)
+  encode   (verts [B, V+1, 3])          -> (z, z_kps, dummy)
   decode   (z, z_kps [B, P, nz|nk])     -> verts [B, V, 3]
 """
 
@@ -44,6 +44,13 @@ def export_inference(model, params, j_regressor, out_dir: str,
     model fails to lower polymorphically, exporting falls back to the
     fixed `batch_size` (recorded in the manifest as symbolic_batch:
     false).
+
+    The model's compute (trunk) dtype is baked into the artifact and
+    recorded in the manifest: checkpoints are dtype-independent (params
+    stay float32; the bf16 trunk is a runtime cast inside the traced
+    module), so exporting a bfloat16 serving bundle from an f32-trained
+    checkpoint needs no conversion — build the model with
+    trunk_dtype='bfloat16' (cli/export.py --trunk_dtype) and export.
 
     Tradeoff (measured, benchmarks/serving_bench.py): the symbolic trace
     cannot take the vertex-major layout of the narrow-channel input conv
@@ -99,9 +106,12 @@ def export_inference(model, params, j_regressor, out_dir: str,
     if arts is None:
         arts = run_exports(batch_size)
 
+    trunk_dtype = ("bfloat16" if model.compute_dtype == jnp.bfloat16
+                   else "float32")
     manifest = {"batch_size": None if sym else batch_size,
                 "symbolic_batch": sym, "n_vertices": v1 - 1,
-                "n_parts": p, "nz": nz, "nk": nk, "artifacts": {}}
+                "n_parts": p, "nz": nz, "nk": nk,
+                "trunk_dtype": trunk_dtype, "artifacts": {}}
     for name, (exp, specs) in arts.items():
         path = os.path.join(out_dir, f"{name}.shlo")
         with open(path, "wb") as f:

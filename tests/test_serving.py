@@ -95,6 +95,37 @@ def test_fixed_batch_fallback_flag(small_cfg, small_hierarchy, small_human,
     assert manifest["artifacts"]["forward"]["in_shapes"][0][0] == 2
 
 
+def test_bf16_trunk_export(small_cfg, small_hierarchy, small_human, verts,
+                           tmp_path):
+    """Serving numeric policy: a bf16-trunk bundle exports from the SAME
+    f32 params (checkpoints are dtype-independent — the cast is a runtime
+    op inside the traced module), records its dtype in the manifest, and
+    reconstructs within bf16 rounding of the f32 bundle."""
+    import dataclasses
+    cfg16 = dataclasses.replace(
+        small_cfg,
+        model=dataclasses.replace(small_cfg.model, trunk_dtype="bfloat16"))
+    m32 = build_model(small_cfg, small_hierarchy, small_human.part_dict)
+    m16 = build_model(cfg16, small_hierarchy, small_human.part_dict)
+    params = m32.init(0)
+    d32, d16 = str(tmp_path / "f32"), str(tmp_path / "bf16")
+    man32 = export_inference(m32, params, small_human.J_regressor, d32,
+                             batch_size=2)
+    man16 = export_inference(m16, params, small_human.J_regressor, d16,
+                             batch_size=2)
+    assert man32["trunk_dtype"] == "float32"
+    assert man16["trunk_dtype"] == "bfloat16"
+    x = jnp.asarray(verts)
+    r32 = np.asarray(ServingBundle(d32).forward(x)[0])
+    r16 = np.asarray(ServingBundle(d16).forward(x)[0])
+    assert r16.dtype == np.float32          # outputs stay f32
+    assert np.isfinite(r16).all()
+    # bf16 keeps ~8 mantissa bits; allow a few ULP of accumulation across
+    # the trunk depth, relative to the reconstruction's own scale
+    scale = max(1e-3, float(np.abs(r32).max()))
+    assert np.abs(r16 - r32).max() < 0.05 * scale
+
+
 def test_sharded_batch_serving_dp8(bundle, small_human):
     """Multi-chip DP inference from the SAME symbolic-batch artifact: a
     batch-sharded input over an 8-device mesh executes without resharding
